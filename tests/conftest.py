@@ -1,0 +1,65 @@
+"""Test harness.
+
+Two jobs:
+  1. Re-exec pytest with the axon TPU-tunnel site customization stripped.
+     With the tunnel's sitecustomize loaded, *every* XLA compile stalls
+     ~10-20 s wall (remote relay round-trips) even on the CPU backend; our
+     tests run on CPU and would take an hour instead of minutes.  The
+     re-exec happens in pytest_configure — before any test module (and
+     hence jax) is imported — with capture suspended so output flows.
+  2. Force a virtual 8-device CPU platform so multi-chip sharding tests run
+     without TPU hardware (SURVEY.md §4 implication).
+"""
+
+import os
+import sys
+
+_MARK = "ASLAM_TEST_REEXEC"
+
+
+def _needs_reexec() -> bool:
+    if os.environ.get(_MARK):
+        return False
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    return ".axon_site" in pythonpath or os.environ.get("JAX_PLATFORMS") == "axon"
+
+
+def pytest_configure(config):
+    if not _needs_reexec():
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    env = dict(os.environ)
+    env[_MARK] = "1"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execve(
+        sys.executable,
+        [sys.executable, "-m", "pytest", *config.invocation_params.args],
+        env,
+    )
+
+
+# Environment for the (re-exec'd) test process itself; must be set before
+# jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

@@ -91,6 +91,9 @@ class ExtractorConfig:
     # reproduces the 30-px FAST cells + quad-tree distribution semantics
     # (orbextractor.cpp:466-746) as a bucketed top-k.
     cell_px: int = 32
+    # per-cell candidate capacity for the bucketed top-k (the quad-tree
+    # equivalent adapts depth; we oversample per cell instead)
+    cell_topk: int = 8
     # padded keypoint capacity per frame (static shape for XLA)
     max_keypoints: int = 1024
     patch_radius: int = 15          # IC-angle / rBRIEF patch half-size

@@ -93,7 +93,7 @@ def _extract_impl(
         n_l = max(int(quotas[l]), 1)
         # oversample then let the global merge keep the best
         xy_l, resp_l, valid_l = select.grid_topk(
-            resp, cfg.cell_px, k_cell=4, n_out=n_l
+            resp, cfg.cell_px, k_cell=cfg.cell_topk, n_out=n_l
         )
 
         img_blur = pyramid.gaussian_blur(img_l)
@@ -115,26 +115,24 @@ def _extract_impl(
 
     M = cfg.max_keypoints
     n_cand = xy.shape[0]
-    if n_cand > M:
+    if n_cand >= M:
         # keep the M best by (valid, response)
         key = jnp.where(valid, resp, -1.0)
         _, sel = jax.lax.top_k(key, M)
+        xy, resp, angle, octv, desc, valid = (
+            xy[sel], resp[sel], angle[sel], octv[sel], desc[sel], valid[sel]
+        )
     else:
-        sel = jnp.arange(n_cand)
         pad = M - n_cand
-        if pad > 0:
-            sel = jnp.concatenate([sel, jnp.zeros((pad,), sel.dtype)])
-            valid = valid & (jnp.arange(n_cand) >= 0)  # no-op, keep shape logic simple
+        xy = jnp.pad(xy, ((0, pad), (0, 0)))
+        resp = jnp.pad(resp, (0, pad))
+        angle = jnp.pad(angle, (0, pad))
+        octv = jnp.pad(octv, (0, pad))
+        desc = jnp.pad(desc, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
 
     feats = Features(
-        xy=xy[sel],
-        response=resp[sel],
-        angle=angle[sel],
-        octave=octv[sel],
-        desc=desc[sel],
-        valid=(valid[sel] if n_cand > M else
-               jnp.concatenate([valid, jnp.zeros((M - n_cand,), jnp.bool_)])[: M]
-               if n_cand < M else valid[sel]),
+        xy=xy, response=resp, angle=angle, octave=octv, desc=desc, valid=valid
     )
 
     # adaptive controller update (per-cell band = global band / n_cells)

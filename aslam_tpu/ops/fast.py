@@ -81,13 +81,25 @@ def nms_3x3(score: jnp.ndarray) -> jnp.ndarray:
     """3x3 non-maximum suppression: keep score only at local maxima.
 
     Equivalent to cv::FAST(nonmaxSuppression=true) used by the reference.
+    Ties on flat plateaus are broken deterministically by raster order so
+    each plateau yields exactly one keypoint (OpenCV's scan order does the
+    same implicitly).
     """
     import jax
 
-    neighborhood_max = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    H, W = score.shape
+    # strictly increasing raster-order epsilon in [0, 0.5): large enough to
+    # survive f32 addition against typical scores (intensity-scale numbers),
+    # small enough not to reorder meaningfully different responses
+    eps = (
+        jnp.arange(H * W, dtype=jnp.float32).reshape(H, W)
+        * (0.5 / (H * W))
     )
-    return jnp.where(score >= neighborhood_max, score, 0.0)
+    keyed = jnp.where(score > 0, score + eps, 0.0)
+    neighborhood_max = jax.lax.reduce_window(
+        keyed, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where(keyed >= neighborhood_max, score, 0.0)
 
 
 def detect(img: jnp.ndarray, threshold) -> jnp.ndarray:

@@ -1,0 +1,87 @@
+"""Per-frame record: features + undistorted coords + 3D backprojection.
+
+Replaces `Core/frame.{h,cpp}` (reference frame.cpp:18-170): BGR->gray and
+depth scaling happen in the dataset loader; here we extract features, sample
+depth at keypoints, undistort, backproject to camera-frame 3D (`mvKeys3Dc`),
+and compute the pseudo-stereo coordinate `mvuRight = u - bf/z`
+(frame.cpp:148-164).  Pose lives alongside as a plain [4,4] `T_cw` — no
+cached Rcw/Rwc/tcw/Ow copies (frame.cpp:58-98) because slicing a 4x4 array
+is free.
+
+Landmark slots (`mvpLandmarks`) become an int32 index array into the map's
+landmark table, maintained by the tracking layer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from aslam_tpu.config import SystemConfig
+from aslam_tpu.models.extractor import AdaptiveState, Features, _extract_impl
+from aslam_tpu.utils import camera
+
+
+class FrameData(NamedTuple):
+    feat: Features          # padded keypoint set (level-0 raw pixel coords)
+    xy_und: jnp.ndarray     # [M,2] undistorted pixel coords
+    p3d: jnp.ndarray        # [M,3] camera-frame backprojection (z>0 where valid)
+    ur: jnp.ndarray         # [M] pseudo-stereo right-u, -1 where no depth
+    depth: jnp.ndarray      # [M] sampled depth (m), 0 where invalid
+    has_depth: jnp.ndarray  # [M] bool
+    T_cw: jnp.ndarray       # [4,4] world-to-camera pose
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def _make_frame_impl(
+    img: jnp.ndarray,
+    depth_map: jnp.ndarray,
+    grid_thresholds: jnp.ndarray,
+    cfg: SystemConfig,
+    height: int,
+    width: int,
+):
+    feat, new_grid = _extract_impl(img, grid_thresholds, cfg.extractor,
+                                   height, width)
+    cam = cfg.camera
+
+    # sample depth at raw (distorted) keypoint pixels, as the reference does
+    xi = jnp.clip(jnp.round(feat.xy[:, 0]).astype(jnp.int32), 0, width - 1)
+    yi = jnp.clip(jnp.round(feat.xy[:, 1]).astype(jnp.int32), 0, height - 1)
+    z = depth_map[yi, xi]
+    has_depth = feat.valid & (z > 0.05) & jnp.isfinite(z)
+    z = jnp.where(has_depth, z, 0.0)
+
+    xy_und = camera.undistort_points(cam, feat.xy)
+    p3d = camera.unproject(cam, xy_und, z)
+    ur = camera.u_right(cam, xy_und[:, 0], z)
+
+    frame = FrameData(
+        feat=feat,
+        xy_und=xy_und,
+        p3d=p3d,
+        ur=ur,
+        depth=z,
+        has_depth=has_depth,
+        T_cw=jnp.eye(4),
+    )
+    return frame, new_grid
+
+
+def make_frame(
+    img: jnp.ndarray,
+    depth_map: jnp.ndarray,
+    cfg: SystemConfig,
+    state: AdaptiveState,
+) -> tuple[FrameData, AdaptiveState]:
+    h, w = img.shape
+    frame, new_grid = _make_frame_impl(img, depth_map, state.grid_thresholds,
+                                       cfg, h, w)
+    return frame, AdaptiveState(grid_thresholds=new_grid)
+
+
+def with_pose(frame: FrameData, T_cw: jnp.ndarray) -> FrameData:
+    return frame._replace(T_cw=T_cw)

@@ -1,0 +1,90 @@
+"""Frame-to-frame odometry policy.
+
+Replaces `Odometry::Compute` (reference odometry.cpp:44-117).  The policy
+used by the reference driver is ADAPTIVE_RBA (main.cpp:23): Mahalanobis
+RANSAC for an initial T12, pose composition T_cw2 = T12 * T_cw1, then
+motion-only BA refinement.  ADAPTIVE_RICP escalates to GICP instead when
+RANSAC quality is poor (inliers < 20 or rmse*10 >= 7, odometry.cpp:52-66).
+
+Everything below the policy branch is one jitted computation; the escalation
+decision reads two scalars on the host (matching the reference's
+data-dependent branch, which cannot live inside jit — SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from aslam_tpu.config import SystemConfig
+from aslam_tpu.models.frame import FrameData
+from aslam_tpu.ops import ba, matching, ransac
+from aslam_tpu.utils.se3 import T_inv, transform_points
+
+
+class OdometryResult(NamedTuple):
+    T_cw2: jnp.ndarray       # [4,4] estimated pose of frame 2
+    T12: jnp.ndarray         # [4,4] relative cam1->cam2
+    match_idx: jnp.ndarray   # [M] feature index in frame2 per frame1 feature
+    inliers: jnp.ndarray     # [M] bool over frame-1 features
+    n_matches: jnp.ndarray   # scalar int32
+    n_inliers: jnp.ndarray   # scalar int32
+    rmse: jnp.ndarray        # scalar float32 (RANSAC residual)
+    ba_inliers: jnp.ndarray  # scalar int32 (motion-only BA inlier count)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def rba_step(
+    f1: FrameData,
+    f2: FrameData,
+    key: jnp.ndarray,
+    cfg: SystemConfig,
+) -> OdometryResult:
+    """RANSAC + motion-only BA refinement (ADAPTIVE_RBA,
+    odometry.cpp:105-116), fully on device."""
+    cam = cfg.camera
+
+    # 1. knn ratio match frame1 -> frame2 (tracking.cpp:199, ratio 0.9)
+    m = matching.knn_ratio_match(
+        f1.feat.desc, f1.feat.valid, f2.feat.desc, f2.feat.valid,
+        ratio=cfg.matcher.ratio_frame, max_dist=float(cfg.matcher.th_high),
+    )
+    m = matching.resolve_duplicates(m, f2.feat.desc.shape[0])
+    tgt = jnp.maximum(m.target_idx, 0)
+
+    # 2. 3D-3D RANSAC over matched pairs with valid depth (ransac.cpp)
+    p1 = f1.p3d
+    p2 = f2.p3d[tgt]
+    pair_valid = m.valid & f1.has_depth & f2.has_depth[tgt]
+    res = ransac.ransac_align(p1, p2, pair_valid, key, cfg.ransac, cam)
+
+    # 3. compose (odometry.cpp:111: T2w = T12 * T1w)
+    T_cw2_init = res.T12 @ f1.T_cw
+
+    # 4. motion-only BA on the RANSAC inliers: world points from frame1
+    #    depth, observations from frame2 keypoints (pnpsolver.cpp semantics)
+    pts_w = transform_points(T_inv(f1.T_cw), p1)
+    obs_uv = f2.xy_und[tgt]
+    obs_ur = f2.ur[tgt]
+    obs_z = f2.depth[tgt]
+    ba_res = ba.pose_only_ba(
+        T_cw2_init, pts_w, obs_uv, obs_ur, obs_z,
+        res.inliers & pair_valid, cam, cfg.ba,
+    )
+    # use the BA pose when it kept enough inliers, else RANSAC's
+    use_ba = ba_res.n_inliers >= cfg.ransac.min_inliers
+    T_cw2 = jnp.where(use_ba, ba_res.T_cw, T_cw2_init)
+
+    return OdometryResult(
+        T_cw2=T_cw2,
+        T12=T_cw2 @ T_inv(f1.T_cw),
+        match_idx=m.target_idx,
+        inliers=res.inliers,
+        n_matches=jnp.sum(m.valid.astype(jnp.int32)),
+        n_inliers=res.n_inliers,
+        rmse=res.rmse,
+        ba_inliers=ba_res.n_inliers,
+    )

@@ -1,0 +1,52 @@
+"""Visual-odometry driver: frame-to-frame tracking without mapping.
+
+This is BASELINE config 1 ("TUM fr1/xyz frame-to-frame odometry, no
+mapping") — the minimum end-to-end slice (SURVEY.md §7.2 step 4).  Host
+Python orchestrates the loop; all math is the jitted `rba_step`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aslam_tpu.config import SystemConfig
+from aslam_tpu.models import frame as frame_mod
+from aslam_tpu.models.extractor import init_adaptive_state
+from aslam_tpu.models.odometry import rba_step
+
+
+class VisualOdometry:
+    def __init__(self, cfg: SystemConfig, seed: int = 0):
+        self.cfg = cfg
+        self.adaptive = init_adaptive_state(cfg.extractor)
+        self.prev: frame_mod.FrameData | None = None
+        self.key = jax.random.PRNGKey(seed)
+        self.poses: list[np.ndarray] = []
+        self.timestamps: list[float] = []
+        self.stats: list[dict] = []
+
+    def process(self, img: np.ndarray, depth: np.ndarray, t: float = 0.0) -> np.ndarray:
+        """Feed one RGB-D frame; returns the estimated T_cw [4,4]."""
+        f, self.adaptive = frame_mod.make_frame(
+            jnp.asarray(img, jnp.float32), jnp.asarray(depth, jnp.float32),
+            self.cfg, self.adaptive,
+        )
+        if self.prev is None:
+            f = frame_mod.with_pose(f, jnp.eye(4))
+        else:
+            self.key, sub = jax.random.split(self.key)
+            res = rba_step(self.prev, f, sub, self.cfg)
+            f = frame_mod.with_pose(f, res.T_cw2)
+            self.stats.append({
+                "n_matches": int(res.n_matches),
+                "n_inliers": int(res.n_inliers),
+                "rmse": float(res.rmse),
+                "ba_inliers": int(res.ba_inliers),
+            })
+        self.prev = f
+        T = np.asarray(f.T_cw)
+        self.poses.append(T)
+        self.timestamps.append(t)
+        return T

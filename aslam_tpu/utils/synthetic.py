@@ -73,16 +73,25 @@ def render_depth_image(
     return depth
 
 
+def point_textures(n_points: int, size: int = 7, seed: int = 7) -> np.ndarray:
+    """A unique random texture stamp per scene point.  Each landmark gets a
+    distinctive local appearance so descriptors are discriminative (flat
+    blobs would all look identical to BRIEF)."""
+    rng = np.random.default_rng(seed)
+    tex = rng.uniform(45.0, 255.0, (n_points, size, size)).astype(np.float32)
+    return tex
+
+
 def render_intensity_image(
     cam: CameraModel,
     T_cw: np.ndarray,
     pts_w: np.ndarray,
-    point_brightness: np.ndarray | None = None,
+    textures: np.ndarray | None = None,
     rng: np.random.Generator | None = None,
     noise: float = 0.0,
 ) -> np.ndarray:
-    """Render a grayscale image with a distinctive blob per scene point so the
-    corner detector has something repeatable to find."""
+    """Render a grayscale image with a distinctive texture stamp per scene
+    point so the corner detector finds repeatable, *matchable* features."""
     H, W = cam.height, cam.width
     img = np.full((H, W), 32.0, np.float32)
     R, t = T_cw[:3, :3], T_cw[:3, 3]
@@ -91,18 +100,16 @@ def render_intensity_image(
     ok = z > 0.05
     u = np.round(cam.fx * pc[:, 0] / np.maximum(z, 1e-6) + cam.cx).astype(np.int64)
     v = np.round(cam.fy * pc[:, 1] / np.maximum(z, 1e-6) + cam.cy).astype(np.int64)
-    if point_brightness is None:
-        pb = np.linspace(120.0, 255.0, len(pts_w)).astype(np.float32)
-    else:
-        pb = point_brightness
-    # 3x3 bright square per point -> strong FAST corners at its corners
+    if textures is None:
+        textures = point_textures(len(pts_w))
+    r = textures.shape[1] // 2
     order = np.argsort(-z)  # far first so near points overwrite
     for i in order:
         if not ok[i]:
             continue
         uu, vv = u[i], v[i]
-        if 2 <= uu < W - 2 and 2 <= vv < H - 2:
-            img[vv - 1 : vv + 2, uu - 1 : uu + 2] = pb[i]
+        if r <= uu < W - r - 1 and r <= vv < H - r - 1:
+            img[vv - r : vv + r + 1, uu - r : uu + r + 1] = textures[i]
     if noise > 0:
         rng = rng or np.random.default_rng(0)
         img = img + rng.normal(0.0, noise, img.shape).astype(np.float32)
@@ -122,6 +129,7 @@ def make_sequence(
     rng = np.random.default_rng(seed)
     pts = random_scene(rng, n_points)
     poses = camera_trajectory(n_frames, rng=rng)
-    imgs = np.stack([render_intensity_image(cam, T, pts) for T in poses])
-    depths = np.stack([render_depth_image(cam, T, pts) for T in poses])
+    tex = point_textures(n_points, seed=seed + 1)
+    imgs = np.stack([render_intensity_image(cam, T, pts, tex) for T in poses])
+    depths = np.stack([render_depth_image(cam, T, pts, splat=4) for T in poses])
     return imgs, depths, poses, pts

@@ -1,0 +1,221 @@
+"""Local/global bundle adjustment: sparse Levenberg-Marquardt with
+Schur-complement landmark elimination, built from batched array ops.
+
+Replaces `LocalBundleAdjustment::Compute` (reference
+localbundleadjustment.cpp:19-316) and `GlobalBundleAdjustment`
+(globalbundleadjustment.cpp), which delegate to g2o's BlockSolver_6_3 with
+marginalized landmark vertices (lba.cpp:131-137) and run the schedule
+"5 iterations -> drop outlier edges (chi2 > 5.991/7.815 or depth <= 0) ->
+10 iterations" (lba.cpp:212-255).
+
+TPU-native formulation (SURVEY.md §7.2 step 7):
+  * the problem is a pytree of fixed-capacity arrays (cams, points, a COO
+    edge list) — no graph objects;
+  * per-edge 3x6 / 3x3 Jacobian blocks are computed batched and reduced
+    into per-camera 6x6, per-landmark 3x3, and camera-landmark 6x3 blocks
+    by scatter-adds (`segment_sum`);
+  * landmark elimination is the dense-blocked Schur complement
+    S = Hcc - W Hll^-1 W^T computed as two MXU matmuls over
+    [6C, 3L] matrices; the reduced camera system is solved by Cholesky;
+  * fixed cameras (the boundary observers, lba.cpp:51-63) keep identity
+    rows in S so their update is exactly zero.
+
+The same `assemble` kernel runs per-shard in the distributed version
+(parallel/sharded_ba.py) with `psum` reductions over the edge axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from aslam_tpu.config import BAConfig, CameraModel
+from aslam_tpu.ops.ba import huber_weight, project_residual_jac
+from aslam_tpu.utils.se3 import se3_exp
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity BA window."""
+
+    cam_T: jnp.ndarray       # [C,4,4] world-to-camera poses
+    cam_fixed: jnp.ndarray   # [C] bool: pose held constant (boundary KFs)
+    cam_valid: jnp.ndarray   # [C] bool: slot in use
+    points: jnp.ndarray      # [L,3] world landmark positions
+    point_valid: jnp.ndarray # [L] bool
+    e_cam: jnp.ndarray       # [E] int32 camera slot per edge
+    e_lm: jnp.ndarray        # [E] int32 landmark slot per edge
+    e_uv: jnp.ndarray        # [E,2] measured undistorted pixel
+    e_ur: jnp.ndarray        # [E] measured right-u (<0 = mono edge)
+    e_z: jnp.ndarray         # [E] measured keypoint depth (for info=1/z^2)
+    e_valid: jnp.ndarray     # [E] bool
+
+
+class BAStats(NamedTuple):
+    chi2: jnp.ndarray        # scalar: total weighted squared error
+    n_edges: jnp.ndarray     # scalar int32 active edges
+
+
+def edge_terms(prob: BAProblem, cam: CameraModel, cfg: BAConfig, robust: bool):
+    """Batched per-edge residuals, Jacobians, weights, chi2."""
+    T_e = prob.cam_T[prob.e_cam]               # [E,4,4]
+    p_e = prob.points[prob.e_lm]               # [E,3]
+
+    # vmapped single-edge version of the batched pose-BA kernel
+    def one(T, p, uv, ur):
+        r, Jc, Jp, depth_ok = project_residual_jac(
+            T, p[None], uv[None], ur[None], cam
+        )
+        return r[0], Jc[0], Jp[0], depth_ok[0]
+
+    r, Jc, Jp, depth_ok = jax.vmap(one)(T_e, p_e, prob.e_uv, prob.e_ur)
+
+    is_stereo = prob.e_ur >= 0
+    row_mask = jnp.stack(
+        [jnp.ones_like(is_stereo), jnp.ones_like(is_stereo), is_stereo], -1
+    )
+    r = jnp.where(row_mask, r, 0.0)
+    Jc = jnp.where(row_mask[..., None], Jc, 0.0)
+    Jp = jnp.where(row_mask[..., None], Jp, 0.0)
+
+    info = jnp.where(prob.e_z > 1e-3, 1.0 / jnp.maximum(prob.e_z, 1e-3) ** 2, 0.0)
+    chi2 = jnp.sum(r * r, -1) * info
+    chi2_th = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
+    w_huber = huber_weight(chi2, chi2_th) if robust else jnp.ones_like(chi2)
+
+    active = (
+        prob.e_valid
+        & depth_ok
+        & prob.cam_valid[prob.e_cam]
+        & prob.point_valid[prob.e_lm]
+    )
+    w = info * w_huber * active
+    return r, Jc, Jp, w, chi2, active
+
+
+def assemble(prob: BAProblem, cam: CameraModel, cfg: BAConfig, robust: bool):
+    """Build the block-sparse normal equations from the edge list.
+
+    Returns (Hcc [C,6,6], bc [C,6], Hll [L,3,3], bl [L,3], W [C,L,6,3],
+    chi2_total).  Pure segment reductions — runs identically per edge-shard
+    in the distributed path (followed by psum).
+    """
+    C = prob.cam_T.shape[0]
+    L = prob.points.shape[0]
+    r, Jc, Jp, w, chi2, active = edge_terms(prob, cam, cfg, robust)
+
+    wJc = w[:, None, None] * Jc                      # [E,3,6]
+    Hcc = jnp.zeros((C, 6, 6)).at[prob.e_cam].add(
+        jnp.einsum("eri,erj->eij", wJc, Jc)
+    )
+    bc = jnp.zeros((C, 6)).at[prob.e_cam].add(
+        jnp.einsum("eri,er->ei", wJc, r)
+    )
+    wJp = w[:, None, None] * Jp                      # [E,3,3]
+    Hll = jnp.zeros((L, 3, 3)).at[prob.e_lm].add(
+        jnp.einsum("eri,erj->eij", wJp, Jp)
+    )
+    bl = jnp.zeros((L, 3)).at[prob.e_lm].add(
+        jnp.einsum("eri,er->ei", wJp, r)
+    )
+    W = jnp.zeros((C, L, 6, 3)).at[prob.e_cam, prob.e_lm].add(
+        jnp.einsum("eri,erj->eij", wJc, Jp)
+    )
+    chi2_total = jnp.sum(jnp.where(active, chi2, 0.0))
+    return Hcc, bc, Hll, bl, W, chi2_total
+
+
+def schur_solve(
+    Hcc, bc, Hll, bl, W,
+    cam_fixed: jnp.ndarray,
+    point_valid: jnp.ndarray,
+    lam: float,
+):
+    """Schur-complement solve: eliminate landmarks, solve cameras, back-
+    substitute landmarks.  Returns (dxc [C,6], dxl [L,3])."""
+    C, L = W.shape[0], W.shape[1]
+
+    # LM damping
+    eyes3 = jnp.broadcast_to(jnp.eye(3), Hll.shape)
+    Hll_d = Hll + lam * eyes3 * jnp.maximum(
+        jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
+    ) + 1e-8 * eyes3
+    Hll_inv = jnp.linalg.inv(Hll_d)                  # [L,3,3] batched
+
+    # Y = W Hll^-1   [C,L,6,3]
+    Y = jnp.einsum("clij,cljk->clik", W, jnp.broadcast_to(Hll_inv, (C, L, 3, 3)))
+
+    # S = blockdiag(Hcc) - Y W^T  as [6C, 6C]
+    Wm = W.transpose(0, 2, 1, 3).reshape(C * 6, L * 3)
+    Ym = Y.transpose(0, 2, 1, 3).reshape(C * 6, L * 3)
+    S = -jnp.dot(Ym, Wm.T, preferred_element_type=jnp.float32)
+    S = S.reshape(C, 6, C, 6)
+    S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Hcc)
+    S = S.reshape(C * 6, C * 6)
+    rhs = (bc - jnp.einsum("clij,lj->ci", Y, bl)).reshape(C * 6)
+
+    # damping + fixed-camera rows -> identity
+    diag_scale = jnp.maximum(jnp.abs(jnp.diagonal(S)), 1e-6)
+    S = S + jnp.diag(lam * diag_scale)
+    fixed6 = jnp.repeat(cam_fixed, 6)
+    S = jnp.where(fixed6[:, None] | fixed6[None, :], 0.0, S)
+    S = S + jnp.diag(jnp.where(fixed6, 1.0, 0.0))
+    rhs = jnp.where(fixed6, 0.0, rhs)
+
+    dxc = -jnp.linalg.solve(S, rhs).reshape(C, 6)
+    dxc = jnp.where(jnp.isfinite(dxc), dxc, 0.0)
+
+    # back-substitute landmarks: dxl = -Hll^-1 (bl + W^T dxc)
+    Wt_dxc = jnp.einsum("clij,ci->lj", W, dxc)
+    dxl = -jnp.einsum("lij,lj->li", Hll_inv, bl + Wt_dxc)
+    dxl = jnp.where(
+        (point_valid[:, None]) & jnp.isfinite(dxl), dxl, 0.0
+    )
+    return dxc, dxl
+
+
+def apply_update(prob: BAProblem, dxc: jnp.ndarray, dxl: jnp.ndarray) -> BAProblem:
+    new_T = jax.vmap(se3_exp)(dxc) @ prob.cam_T
+    new_T = jnp.where(prob.cam_fixed[:, None, None], prob.cam_T, new_T)
+    new_pts = prob.points + dxl
+    return prob._replace(cam_T=new_T, points=new_pts)
+
+
+def ba_iterate(
+    prob: BAProblem, cam: CameraModel, cfg: BAConfig,
+    iters: int, robust: bool, lam: float = 1e-4,
+) -> BAProblem:
+    def body(_, p):
+        Hcc, bc, Hll, bl, W, _ = assemble(p, cam, cfg, robust)
+        dxc, dxl = schur_solve(Hcc, bc, Hll, bl, W, p.cam_fixed,
+                               p.point_valid, lam)
+        return apply_update(p, dxc, dxl)
+
+    return jax.lax.fori_loop(0, iters, body, prob)
+
+
+def prune_outlier_edges(prob: BAProblem, cam: CameraModel, cfg: BAConfig) -> BAProblem:
+    """Drop edges with chi2 over threshold or nonpositive projected depth
+    (lba.cpp:221-247)."""
+    _, _, _, _, chi2, active = edge_terms(prob, cam, cfg, robust=False)
+    is_stereo = prob.e_ur >= 0
+    chi2_th = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
+    keep = active & (chi2 <= chi2_th)
+    return prob._replace(e_valid=keep)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def local_ba(prob: BAProblem, cam: CameraModel, cfg: BAConfig):
+    """Full local-BA schedule (lba.cpp:212-255): robust iterations, outlier
+    pruning, then non-robust refinement.  Returns (problem, stats)."""
+    prob = ba_iterate(prob, cam, cfg, cfg.local_iters_1, robust=True)
+    prob = prune_outlier_edges(prob, cam, cfg)
+    prob = ba_iterate(prob, cam, cfg, cfg.local_iters_2, robust=False)
+    _, _, _, _, chi2, active = edge_terms(prob, cam, cfg, robust=False)
+    stats = BAStats(
+        chi2=jnp.sum(jnp.where(active, chi2, 0.0)),
+        n_edges=jnp.sum(active.astype(jnp.int32)),
+    )
+    return prob, stats

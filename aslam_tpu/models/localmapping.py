@@ -1,0 +1,260 @@
+"""Local mapping: per-keyframe map refinement.
+
+Replaces `System/localmapping.{h,cpp}` (SURVEY.md component 3).  The
+reference runs this as a background pthread consuming a keyframe queue
+(localmapping.cpp:28-52); TPU-natively each inserted keyframe triggers one
+bounded sequence of jitted map updates — pipeline concurrency comes from
+JAX's async dispatch (the host thread never blocks on these unless it
+reads a scalar), not from shared-memory locking:
+
+  1. refresh distinctive descriptors of touched landmarks
+     (ComputeDistinctiveDescriptors, landmark.cpp:219-273)
+  2. landmark culling (localmapping.cpp:110-134)
+  3. fuse: project neighbor landmarks into the new KF, merge duplicates
+     (FuseLandmarks, localmapping.cpp:136-194 + Matcher::Fuse
+     matcher.cpp:212-313)
+  4. local BA over the covisibility window (Schur LM, ops/lba.py)
+  5. keyframe culling (localmapping.cpp:196-238)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from aslam_tpu.config import SystemConfig
+from aslam_tpu.models import mapstate as ms
+from aslam_tpu.ops import lba, matching
+from aslam_tpu.utils import camera
+
+
+# ------------------------------------------------------------------ fuse
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("m",))
+def fuse_landmarks(m: ms.MapState, slot: jnp.ndarray,
+                   cfg: SystemConfig) -> ms.MapState:
+    """Project landmarks seen by covisible KFs into keyframe `slot`; bind
+    them to free features, and when a feature is already bound, merge the
+    two landmarks keeping the better-observed one (Replace,
+    landmark.cpp:160-192).  One batched round per insertion."""
+    cam = cfg.camera
+    K, M = m.kf_lm.shape
+    L = m.lm_pos.shape[0]
+
+    W = ms.covisibility(m)                            # [K,K]
+    neighbor = W[slot] >= cfg.map.covis_min_weight    # [K]
+    A = ms.incidence(m)
+    cand = jnp.any(A & neighbor[:, None], axis=0) & m.lm_valid
+
+    # exclude landmarks already bound in this KF
+    own = m.kf_lm[slot]
+    own_mask = jnp.zeros((L + 1,), bool).at[
+        jnp.where(own >= 0, own, L)
+    ].set(True)[:L]
+    cand = cand & ~own_mask
+
+    T_kf = m.kf_T_cw[slot]
+    vis, pred_uv, _, _ = camera.in_frustum(cam, T_kf, m.lm_pos)
+    cand = cand & vis
+
+    pm = matching.projection_match(
+        m.lm_desc, cand, pred_uv,
+        m.kf_xy[slot], m.kf_desc[slot], m.kf_kp_valid[slot],
+        m.kf_octave[slot], jnp.ones((M,), bool),  # bound features allowed
+        radius=cfg.matcher.fuse_radius,
+        th_high=float(cfg.matcher.th_low),        # Fuse uses TH_LOW
+        ratio=1.0,                                # no ratio test in Fuse
+    )
+
+    obs = ms.observation_counts(m)
+    tgt_feat = jnp.where(pm.valid, pm.target_idx, M)
+    own_pad = jnp.concatenate([own, jnp.full((1,), -1, jnp.int32)])
+    existing = own_pad[tgt_feat]                      # [L] bound lm or -1
+
+    lm_ids = jnp.arange(L, dtype=jnp.int32)
+    # case A: feature free -> bind landmark
+    bind = pm.valid & (existing < 0)
+    new_row = own_pad.at[jnp.where(bind, tgt_feat, M)].set(
+        jnp.where(bind, lm_ids, -1)
+    )[:M]
+
+    # case B: feature bound to other landmark -> merge (keep more obs)
+    dup = pm.valid & (existing >= 0) & (existing != lm_ids)
+    ex_idx = jnp.where(existing >= 0, existing, 0)
+    keep_existing = obs[ex_idx] >= obs
+    loser = jnp.where(dup, jnp.where(keep_existing, lm_ids, ex_idx), L)
+    winner = jnp.where(dup, jnp.where(keep_existing, ex_idx, lm_ids), L)
+    redirect = jnp.arange(L + 1, dtype=jnp.int32).at[loser].set(winner)[:L + 1]
+    redirect = redirect.at[L].set(-1)
+
+    lm_valid = jnp.concatenate([m.lm_valid, jnp.zeros((1,), bool)]) \
+        .at[loser].set(False)[:L]
+
+    # apply redirect to every observation slot (landmark Replace cascade as
+    # one gather)
+    kf_lm = m.kf_lm.at[slot].set(new_row)
+    kf_lm = redirect[jnp.where(kf_lm >= 0, kf_lm, L)]
+
+    return m._replace(kf_lm=kf_lm, lm_valid=lm_valid)
+
+
+# ------------------------------------------------------------- local BA
+
+class WindowSpec(NamedTuple):
+    cam_slots: jnp.ndarray   # [C] int32 KF slots in the problem
+    cam_fixed: jnp.ndarray   # [C] bool
+    cam_valid: jnp.ndarray   # [C] bool
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_window(m: ms.MapState, slot: jnp.ndarray, cfg: SystemConfig):
+    """Select the BA window: current KF + top-covisible KFs (optimized) and
+    the most-connected remaining KFs as fixed anchors
+    (localbundleadjustment.cpp:21-63, capped to static shapes)."""
+    K = m.kf_valid.shape[0]
+    n_win = cfg.ba.max_window_cams
+    n_fix = cfg.ba.max_fixed_cams
+    W = ms.covisibility(m)
+    w_row = jnp.where(m.kf_valid, W[slot], -1)
+    w_row = w_row.at[slot].set(-1)
+
+    win_vals, win_idx = jax.lax.top_k(w_row, min(n_win - 1, K))
+    cam_slots_w = jnp.concatenate([slot[None], win_idx])[:n_win]
+    valid_w = jnp.concatenate([jnp.ones((1,), bool), win_vals > 0])[:n_win]
+
+    # fixed anchors: remaining KFs most covisible with any window KF
+    # (scatter invalid entries to a scratch slot so they can't clobber row 0)
+    in_win = jnp.zeros((K + 1,), bool).at[
+        jnp.where(valid_w, cam_slots_w, K)
+    ].set(True)[:K]
+    anchor_score = jnp.where(
+        m.kf_valid & ~in_win,
+        jnp.max(W[:, cam_slots_w] * valid_w[None, :], axis=1),
+        -1,
+    )
+    fix_vals, fix_idx = jax.lax.top_k(anchor_score, min(n_fix, K))
+    valid_f = fix_vals > 0
+    # always anchor the oldest KF (gauge) if not already in the window
+    oldest = jnp.argmax(jnp.where(m.kf_valid, -m.kf_id, -(2**30)))
+    fix_idx = fix_idx.at[0].set(
+        jnp.where(in_win[oldest], fix_idx[0], oldest)
+    )
+    valid_f = valid_f.at[0].set(valid_f[0] | ~in_win[oldest])
+
+    cam_slots = jnp.concatenate([cam_slots_w, fix_idx])
+    cam_valid = jnp.concatenate([valid_w, valid_f])
+    cam_fixed = jnp.concatenate(
+        [jnp.zeros((n_win,), bool), jnp.ones((n_fix,), bool)]
+    )
+    # single-KF maps: fix the only camera
+    cam_fixed = cam_fixed.at[0].set(jnp.sum(m.kf_valid) <= 1)
+    return WindowSpec(cam_slots, cam_fixed, cam_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_problem(m: ms.MapState, spec: WindowSpec, cfg: SystemConfig):
+    """Extract the BAProblem arrays for the window.  Edges are the window
+    KFs' feature slots (static shape C*M, masked)."""
+    C = spec.cam_slots.shape[0]
+    M = m.kf_lm.shape[1]
+    L = m.lm_pos.shape[0]
+
+    rows = m.kf_lm[spec.cam_slots]                   # [C,M]
+    kp_ok = m.kf_kp_valid[spec.cam_slots] & spec.cam_valid[:, None]
+    has = (rows >= 0) & kp_ok
+    lm_idx = jnp.where(has, rows, 0)
+
+    # optimizable landmarks: observed by a non-fixed window cam
+    win_obs = jnp.zeros((L + 1,), bool).at[
+        jnp.where(has & ~spec.cam_fixed[:, None], rows, L)
+    ].set(True)[:L]
+    point_opt = win_obs & m.lm_valid
+
+    # fixed-cam edges only constrain window landmarks; non-window-landmark
+    # edges are masked out (they would distort the Schur complement)
+    e_valid = has & m.lm_valid[lm_idx] & point_opt[lm_idx]
+
+    prob = lba.BAProblem(
+        cam_T=m.kf_T_cw[spec.cam_slots],
+        cam_fixed=spec.cam_fixed,
+        cam_valid=spec.cam_valid,
+        points=m.lm_pos,
+        point_valid=point_opt,
+        e_cam=jnp.repeat(jnp.arange(C, dtype=jnp.int32), M),
+        e_lm=lm_idx.reshape(-1),
+        e_uv=m.kf_xy[spec.cam_slots].reshape(-1, 2),
+        e_ur=m.kf_ur[spec.cam_slots].reshape(-1),
+        e_z=m.kf_z[spec.cam_slots].reshape(-1),
+        e_valid=e_valid.reshape(-1),
+    )
+    return prob
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("m",))
+def write_back(m: ms.MapState, spec: WindowSpec, prob: lba.BAProblem,
+               cfg: SystemConfig) -> ms.MapState:
+    """Write optimized poses/points back and erase pruned observations
+    (lba.cpp:288-315, under the reference's map-update mutex — here just
+    array writes)."""
+    C, M = spec.cam_slots.shape[0], m.kf_lm.shape[1]
+    write_cam = spec.cam_valid & ~spec.cam_fixed
+    safe_slots = jnp.where(write_cam, spec.cam_slots, m.kf_T_cw.shape[0])
+    kf_T = jnp.concatenate([m.kf_T_cw, jnp.zeros((1, 4, 4))]) \
+        .at[safe_slots].set(prob.cam_T)[:-1]
+
+    lm_pos = jnp.where(prob.point_valid[:, None], prob.points, m.lm_pos)
+
+    # pruned edges -> remove observation (kf_lm slot := -1)
+    pruned = (~prob.e_valid.reshape(C, M)) & (m.kf_lm[spec.cam_slots] >= 0) \
+        & spec.cam_valid[:, None] & prob.point_valid[
+            jnp.maximum(m.kf_lm[spec.cam_slots], 0)
+        ]
+    rows = jnp.where(pruned, -1, m.kf_lm[spec.cam_slots])
+    kf_lm = m.kf_lm.at[spec.cam_slots[:, None], jnp.arange(M)[None, :]].set(
+        jnp.where(spec.cam_valid[:, None], rows, m.kf_lm[spec.cam_slots])
+    )
+
+    return m._replace(kf_T_cw=kf_T, lm_pos=lm_pos, kf_lm=kf_lm)
+
+
+# ------------------------------------------------------------ orchestration
+
+class LocalMapping:
+    """Host driver for the per-keyframe refinement sequence."""
+
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.n_processed = 0
+
+    def process_keyframe(self, m: ms.MapState, slot: int, kf_id: int,
+                         n_kfs: int) -> ms.MapState:
+        cfg = self.cfg
+        slot_j = jnp.int32(slot)
+
+        # 1. distinctive descriptors for landmarks touched by this KF
+        L = m.lm_pos.shape[0]
+        touched = jnp.zeros((L + 1,), bool).at[
+            jnp.where(m.kf_lm[slot_j] >= 0, m.kf_lm[slot_j], L)
+        ].set(True)[:L]
+        m = ms.refresh_landmark_descriptors(m, touched)
+
+        # 2. landmark culling
+        m = ms.landmark_culling(m, jnp.int32(kf_id), cfg)
+
+        # 3. fuse duplicates with covisible neighbors
+        m = fuse_landmarks(m, slot_j, cfg)
+
+        # 4. local BA once there are >2 KFs (localmapping.cpp:45-48)
+        if n_kfs > 2:
+            spec = build_window(m, slot_j, cfg)
+            prob = build_problem(m, spec, cfg)
+            prob, _ = lba.local_ba(prob, cfg.camera, cfg.ba)
+            m = write_back(m, spec, prob, cfg)
+
+        # 5. keyframe culling
+        m = ms.keyframe_culling(m, slot_j, cfg)
+        self.n_processed += 1
+        return m

@@ -1,0 +1,313 @@
+"""MapState: the world model as a pytree of fixed-capacity arrays.
+
+Replaces the reference Core/ layer (Frame/KeyFrame/Landmark/Map,
+SURVEY.md components 5-8): a pointer graph with 19 mutexes becomes plain
+arrays + tombstone masks, and every derived structure the reference
+maintains incrementally (covisibility graph `UpdateConnections`
+keyframe.cpp:130-206, observation counts, distinctive descriptors
+landmark.cpp:219-273) is *recomputed* from the source-of-truth arrays with
+one batched op — always consistent, no mutation cascades (`SetBadFlag`
+keyframe.cpp:429-512 becomes a mask write).
+
+Source of truth:
+  kf_* rows      — one per keyframe slot (pose + keypoint arrays)
+  kf_lm [K,M]    — landmark id per keyframe feature slot (-1 = none).
+                   This IS the observation edge list in COO-by-row form.
+  lm_* rows      — one per landmark slot (position, descriptor, stats)
+
+Derived on demand:
+  observation counts  = segment-count of kf_lm
+  covisibility matrix = A A^T over the binary KF x landmark incidence (MXU)
+  distinctive descriptor = min-total-Hamming medoid over observations
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from aslam_tpu.config import SystemConfig
+from aslam_tpu.models.frame import FrameData
+from aslam_tpu.ops import hamming
+from aslam_tpu.utils import camera
+from aslam_tpu.utils.se3 import T_inv, transform_points
+
+
+class MapState(NamedTuple):
+    # keyframes
+    kf_T_cw: jnp.ndarray     # [K,4,4]
+    kf_valid: jnp.ndarray    # [K] bool
+    kf_id: jnp.ndarray       # [K] int32 insertion order (monotonic)
+    kf_xy: jnp.ndarray       # [K,M,2] undistorted keypoint coords
+    kf_ur: jnp.ndarray       # [K,M]
+    kf_z: jnp.ndarray        # [K,M] keypoint depth
+    kf_desc: jnp.ndarray     # [K,M,8] uint32
+    kf_octave: jnp.ndarray   # [K,M] int32
+    kf_kp_valid: jnp.ndarray # [K,M] bool
+    kf_lm: jnp.ndarray       # [K,M] int32 landmark id, -1 = none
+    # landmarks
+    lm_pos: jnp.ndarray      # [L,3] world position
+    lm_desc: jnp.ndarray     # [L,8] uint32 distinctive descriptor
+    lm_valid: jnp.ndarray    # [L] bool
+    lm_first_kf: jnp.ndarray # [L] int32 kf_id at creation
+    lm_visible: jnp.ndarray  # [L] int32 frustum-visible count
+    lm_found: jnp.ndarray    # [L] int32 tracked-inlier count
+
+
+def init_map(cfg: SystemConfig) -> MapState:
+    K = cfg.map.max_keyframes
+    L = cfg.map.max_landmarks
+    M = cfg.extractor.max_keypoints
+    return MapState(
+        kf_T_cw=jnp.tile(jnp.eye(4), (K, 1, 1)),
+        kf_valid=jnp.zeros(K, bool),
+        kf_id=jnp.full((K,), -1, jnp.int32),
+        kf_xy=jnp.zeros((K, M, 2)),
+        kf_ur=jnp.full((K, M), -1.0),
+        kf_z=jnp.zeros((K, M)),
+        kf_desc=jnp.zeros((K, M, 8), jnp.uint32),
+        kf_octave=jnp.zeros((K, M), jnp.int32),
+        kf_kp_valid=jnp.zeros((K, M), bool),
+        kf_lm=jnp.full((K, M), -1, jnp.int32),
+        lm_pos=jnp.zeros((L, 3)),
+        lm_desc=jnp.zeros((L, 8), jnp.uint32),
+        lm_valid=jnp.zeros(L, bool),
+        lm_first_kf=jnp.full((L,), -1, jnp.int32),
+        lm_visible=jnp.zeros(L, jnp.int32),
+        lm_found=jnp.zeros(L, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------- derived
+
+def observation_counts(m: MapState) -> jnp.ndarray:
+    """[L] int32: number of keyframe observations per landmark (the
+    reference's nObs, recomputed; landmark.cpp:69-80 counts stereo obs
+    twice — we count edges, thresholds adjusted accordingly)."""
+    L = m.lm_pos.shape[0]
+    ids = jnp.where(m.kf_kp_valid & m.kf_valid[:, None], m.kf_lm, -1)
+    flat = jnp.where(ids >= 0, ids, L).reshape(-1)
+    return jnp.zeros((L + 1,), jnp.int32).at[flat].add(1)[:L]
+
+
+def incidence(m: MapState) -> jnp.ndarray:
+    """[K,L] bool: KF k observes landmark l."""
+    K, M = m.kf_lm.shape
+    L = m.lm_pos.shape[0]
+    ids = jnp.where(m.kf_kp_valid & m.kf_valid[:, None], m.kf_lm, -1)
+    flat = jnp.where(ids >= 0, ids, L)
+    A = jnp.zeros((K, L + 1), bool)
+    A = A.at[jnp.arange(K)[:, None], flat].set(True)
+    return A[:, :L] & m.lm_valid[None, :]
+
+
+def covisibility(m: MapState) -> jnp.ndarray:
+    """[K,K] int32 shared-landmark counts (keyframe.cpp:130-206's
+    incrementally maintained graph as one MXU matmul)."""
+    A = incidence(m).astype(jnp.bfloat16)
+    W = jnp.dot(A, A.T, preferred_element_type=jnp.float32).astype(jnp.int32)
+    W = W * (1 - jnp.eye(W.shape[0], dtype=jnp.int32))
+    return W * (m.kf_valid[:, None] & m.kf_valid[None, :])
+
+
+# ---------------------------------------------------------------- insert
+
+@functools.partial(jax.jit, donate_argnames=("m",))
+def insert_keyframe(
+    m: MapState,
+    frame: FrameData,
+    lm_assoc: jnp.ndarray,   # [M] int32 landmark id per feature (-1 none)
+    slot: jnp.ndarray,       # scalar int32 target row
+    kf_id: jnp.ndarray,      # scalar int32 monotonic id
+) -> MapState:
+    """Write a frame into keyframe row `slot` (LocalMapping::InsertKeyFrame
+    + ProcessNewKeyFrame association, localmapping.cpp:85-107)."""
+    return m._replace(
+        kf_T_cw=m.kf_T_cw.at[slot].set(frame.T_cw),
+        kf_valid=m.kf_valid.at[slot].set(True),
+        kf_id=m.kf_id.at[slot].set(kf_id),
+        kf_xy=m.kf_xy.at[slot].set(frame.xy_und),
+        kf_ur=m.kf_ur.at[slot].set(frame.ur),
+        kf_z=m.kf_z.at[slot].set(frame.depth),
+        kf_desc=m.kf_desc.at[slot].set(frame.feat.desc),
+        kf_octave=m.kf_octave.at[slot].set(frame.feat.octave),
+        kf_kp_valid=m.kf_kp_valid.at[slot].set(frame.feat.valid),
+        kf_lm=m.kf_lm.at[slot].set(lm_assoc),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_new", "th_depth"), donate_argnames=("m",)
+)
+def create_landmarks(
+    m: MapState,
+    frame: FrameData,
+    lm_assoc: jnp.ndarray,   # [M] current landmark binding of the frame
+    slot: jnp.ndarray,       # KF row the frame was inserted into
+    kf_id: jnp.ndarray,
+    next_lm: jnp.ndarray,    # scalar int32 allocation cursor
+    max_new: int,
+    th_depth: float,
+):
+    """Spawn landmarks for up to `max_new` closest unbound keypoints with
+    valid depth below th_depth (tracking.cpp:488-535: sorted by depth,
+    <=100 close points; at init all valid-depth points).
+
+    Returns (map, new_assoc [M], n_created scalar)."""
+    M = lm_assoc.shape[0]
+    L = m.lm_pos.shape[0]
+    eligible = (
+        frame.feat.valid & frame.has_depth & (lm_assoc < 0)
+        & (frame.depth < th_depth)
+    )
+    depth_key = jnp.where(eligible, frame.depth, jnp.inf)
+    order = jnp.argsort(depth_key)                    # closest first
+    take = jnp.arange(M) < jnp.minimum(
+        jnp.sum(eligible.astype(jnp.int32)), max_new
+    )
+    chosen = order  # feature index by rank
+    is_new = take  # ranks actually used
+
+    # allocation: rank r -> landmark id next_lm + r (capacity-clamped)
+    new_ids = next_lm + jnp.arange(M, dtype=jnp.int32)
+    in_cap = new_ids < L
+    is_new = is_new & in_cap
+    n_created = jnp.sum(is_new.astype(jnp.int32))
+
+    pts_w = transform_points(T_inv(frame.T_cw), frame.p3d)   # [M,3]
+    sel_pts = pts_w[chosen]
+    sel_desc = frame.feat.desc[chosen]
+
+    tgt = jnp.where(is_new, new_ids, L)               # L = scratch row
+    lm_pos = jnp.concatenate([m.lm_pos, jnp.zeros((1, 3))]) \
+        .at[tgt].set(sel_pts)[:L]
+    lm_desc = jnp.concatenate([m.lm_desc, jnp.zeros((1, 8), jnp.uint32)]) \
+        .at[tgt].set(sel_desc)[:L]
+    lm_valid = jnp.concatenate([m.lm_valid, jnp.zeros((1,), bool)]) \
+        .at[tgt].set(True)[:L]
+    lm_first = jnp.concatenate([m.lm_first_kf, jnp.zeros((1,), jnp.int32)]) \
+        .at[tgt].set(kf_id)[:L]
+
+    # bind features: feature chosen[r] -> new_ids[r]
+    feat_tgt = jnp.where(is_new, chosen, M)
+    assoc = jnp.concatenate([lm_assoc, jnp.full((1,), -1, jnp.int32)]) \
+        .at[feat_tgt].set(jnp.where(is_new, new_ids, -1))[:M]
+
+    m = m._replace(
+        lm_pos=lm_pos, lm_desc=lm_desc, lm_valid=lm_valid,
+        lm_first_kf=lm_first,
+        kf_lm=m.kf_lm.at[slot].set(assoc),
+    )
+    return m, assoc, n_created
+
+
+# ---------------------------------------------------------------- culling
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("m",))
+def landmark_culling(m: MapState, current_kf_id: jnp.ndarray,
+                     cfg: SystemConfig) -> MapState:
+    """Reference rule (localmapping.cpp:110-134): kill landmarks with
+    found/visible ratio < 0.25, or with <= `cull_min_obs` observations
+    more than 2 KFs after creation."""
+    obs = observation_counts(m)
+    found_ratio = m.lm_found / jnp.maximum(m.lm_visible, 1)
+    seen = m.lm_visible > 0
+    bad_ratio = seen & (found_ratio < cfg.map.cull_found_ratio)
+    mature = (current_kf_id - m.lm_first_kf) >= 2
+    bad_obs = mature & (obs <= cfg.map.cull_min_obs - 1)
+    keep = m.lm_valid & ~(bad_ratio | bad_obs)
+    # unbind culled landmarks from keyframe slots
+    culled_lookup = jnp.concatenate([keep, jnp.ones((1,), bool)])
+    kf_lm = jnp.where(
+        culled_lookup[jnp.where(m.kf_lm >= 0, m.kf_lm, keep.shape[0])],
+        m.kf_lm, -1,
+    )
+    return m._replace(lm_valid=keep, kf_lm=kf_lm)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("m",))
+def keyframe_culling(m: MapState, current_slot: jnp.ndarray,
+                     cfg: SystemConfig) -> MapState:
+    """Reference rule (localmapping.cpp:196-238): a KF is redundant when
+    >95% of its close landmarks are observed >= 3 times elsewhere."""
+    obs = observation_counts(m)                       # [L]
+    L = m.lm_pos.shape[0]
+    ids = jnp.where(m.kf_kp_valid, m.kf_lm, -1)
+    has_lm = ids >= 0
+    close = has_lm & (m.kf_z > 0) & (m.kf_z < cfg.camera.th_depth)
+    lm_obs = jnp.concatenate([obs, jnp.zeros((1,), jnp.int32)])[
+        jnp.where(ids >= 0, ids, L)
+    ]
+    redundant_obs = close & (lm_obs >= 4)  # seen >=3 times elsewhere
+    n_close = jnp.sum(close, axis=1)
+    n_red = jnp.sum(redundant_obs, axis=1)
+    redundant_kf = (
+        m.kf_valid
+        & (n_close > 0)
+        & (n_red > cfg.map.kf_cull_redundancy * n_close)
+    )
+    # never cull the first or the current KF
+    redundant_kf = redundant_kf.at[0].set(False)
+    redundant_kf = redundant_kf.at[current_slot].set(False)
+    # cull at most one KF per call (mirrors incremental behavior, keeps
+    # the map stable)
+    first = jnp.argmax(redundant_kf)
+    do = jnp.any(redundant_kf)
+    kf_valid = m.kf_valid.at[first].set(
+        jnp.where(do, False, m.kf_valid[first])
+    )
+    kf_lm = m.kf_lm.at[first].set(
+        jnp.where(do, jnp.full_like(m.kf_lm[first], -1), m.kf_lm[first])
+    )
+    return m._replace(kf_valid=kf_valid, kf_lm=kf_lm)
+
+
+# ---------------------------------------------------------------- descriptors
+
+@functools.partial(jax.jit, static_argnames=("max_obs",), donate_argnames=("m",))
+def refresh_landmark_descriptors(m: MapState, lm_mask: jnp.ndarray,
+                                 max_obs: int = 8) -> MapState:
+    """Distinctive descriptor = medoid (min total Hamming distance) over up
+    to max_obs observations (landmark.cpp:219-273 computes the min-median;
+    the medoid is the same estimator family, batched).
+
+    lm_mask selects which landmarks to refresh (e.g. those touched by the
+    newest keyframe)."""
+    K, M = m.kf_lm.shape
+    L = m.lm_pos.shape[0]
+
+    # gather up to max_obs observing (kf, feat) pairs per landmark by
+    # scatter with per-landmark cursors emulated via priority trick:
+    # use segment-sort: flatten edges, sort by lm id, take first max_obs.
+    ids = jnp.where(m.kf_kp_valid & m.kf_valid[:, None], m.kf_lm, -1)
+    flat_ids = jnp.where(ids >= 0, ids, L).reshape(-1)
+    order = jnp.argsort(flat_ids)
+    sorted_ids = flat_ids[order]
+    # rank within landmark group
+    idx = jnp.arange(sorted_ids.shape[0])
+    group_start = jnp.searchsorted(sorted_ids, sorted_ids, side="left")
+    rank = idx - group_start
+    use = (sorted_ids < L) & (rank < max_obs)
+    # scatter descriptors into [L, max_obs, 8]
+    desc_flat = m.kf_desc.reshape(-1, 8)[order]
+    tgt_l = jnp.where(use, sorted_ids, L)
+    tgt_r = jnp.where(use, rank, 0)
+    obs_desc = jnp.zeros((L + 1, max_obs, 8), jnp.uint32).at[tgt_l, tgt_r].set(
+        desc_flat
+    )[:L]
+    obs_cnt = jnp.zeros((L + 1, max_obs), bool).at[tgt_l, tgt_r].set(use)[:L]
+
+    # pairwise Hamming per landmark, medoid selection
+    def medoid(desc_set, cnt, fallback):
+        d = hamming.distance_matrix_popcount(desc_set, desc_set)
+        d = jnp.where(cnt[None, :], d, 0.0)
+        total = jnp.where(cnt, jnp.sum(d, axis=1), jnp.inf)
+        best = jnp.argmin(total)
+        return jnp.where(jnp.any(cnt), desc_set[best], fallback)
+
+    new_desc = jax.vmap(medoid)(obs_desc, obs_cnt, m.lm_desc)
+    lm_desc = jnp.where((lm_mask & m.lm_valid)[:, None], new_desc, m.lm_desc)
+    return m._replace(lm_desc=lm_desc)

@@ -1,0 +1,65 @@
+"""SLAM system facade: tracking + local mapping (+ loop closing).
+
+Replaces the reference driver wiring (main.cpp:25-143): constructs the
+subsystems, feeds frames, exports trajectories.  Where the reference spawns
+pthreads (main.cpp:79-85), the TPU engine interleaves jitted stages on the
+host thread — JAX's async dispatch overlaps device work with host
+orchestration, and every map update is a pure function, so the 19 mutexes
+of the reference have no equivalent here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aslam_tpu.config import SystemConfig
+from aslam_tpu.models.localmapping import LocalMapping
+from aslam_tpu.models.tracking import Tracking
+from aslam_tpu.utils import trajectory
+
+
+class SlamSystem:
+    def __init__(self, cfg: SystemConfig | None = None, seed: int = 0):
+        self.cfg = cfg or SystemConfig()
+        self.tracking = Tracking(self.cfg, seed=seed)
+        self.local_mapping = LocalMapping(self.cfg)
+        self.loop_closing = None
+        if self.cfg.use_loop_closing:
+            from aslam_tpu.models.loopclosing import LoopClosing
+
+            self.loop_closing = LoopClosing(self.cfg)
+
+    def process(self, img: np.ndarray, depth: np.ndarray, t: float = 0.0):
+        T, info = self.tracking.track(img, depth, t)
+        if info.get("new_kf"):
+            slot = self.tracking.new_kf_slots[-1]
+            kf_id = self.tracking.kf_counter - 1
+            self.tracking.map = self.local_mapping.process_keyframe(
+                self.tracking.map, slot, kf_id, self.tracking.n_kfs
+            )
+            if self.loop_closing is not None:
+                self.tracking.map = self.loop_closing.process_keyframe(
+                    self.tracking.map, slot, kf_id
+                )
+        return T, info
+
+    # -- exports (main.cpp:124-126) -----------------------------------
+    def save_trajectory(self, path: str) -> None:
+        trajectory.save_tum_trajectory(
+            path, np.asarray(self.tracking.timestamps),
+            np.stack(self.tracking.poses),
+        )
+
+    def save_keyframe_trajectory(self, path: str) -> None:
+        m = self.tracking.map
+        valid = np.asarray(m.kf_valid)
+        poses = np.asarray(m.kf_T_cw)[valid]
+        ids = np.asarray(m.kf_id)[valid]
+        order = np.argsort(ids)
+        trajectory.save_tum_trajectory(
+            path, ids[order].astype(np.float64), poses[order]
+        )
+
+    @property
+    def map(self):
+        return self.tracking.map

@@ -1,0 +1,240 @@
+"""Tracking front-end: per-frame pose estimation against the map.
+
+Replaces `System/tracking.{h,cpp}` (SURVEY.md component 2).  State machine
+NO_IMAGES_YET -> NOT_INITIALIZED -> OK (tracking.h:32-38) lives on the host;
+each stage is one jitted computation:
+
+  TrackFrame     = rba_step (knn match -> RANSAC -> motion-BA) +
+                   landmark-association carry-over (tracking.cpp:193-229)
+  TrackLocalMap  = covisibility-voted local keyframes (cap 80,
+                   tracking.cpp:263-346) -> frustum + projection match
+                   (tracking.cpp:368-405) -> pose-only BA -> association
+                   pruning (tracking.cpp:231-261)
+  NeedNewKeyFrame= ||t|| > 0.15 m or rot > 0.25 rad vs the reference KF
+                   (tracking.cpp:449-476)
+
+The keyframe decision reads three scalars from device; everything else
+stays resident.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aslam_tpu.config import SystemConfig
+from aslam_tpu.models import frame as frame_mod
+from aslam_tpu.models import mapstate as ms
+from aslam_tpu.models.extractor import init_adaptive_state
+from aslam_tpu.models.odometry import rba_step
+from aslam_tpu.ops import ba, matching
+from aslam_tpu.utils import camera
+from aslam_tpu.utils.se3 import pose_distance
+
+
+@jax.jit
+def carry_associations(
+    last_assoc: jnp.ndarray,   # [M] landmark ids bound to last frame
+    match_idx: jnp.ndarray,    # [M] last-frame feature -> current feature
+    inliers: jnp.ndarray,      # [M] RANSAC inlier mask over last features
+) -> jnp.ndarray:
+    """Propagate landmark bindings through frame-to-frame matches
+    (the reference carries Landmark* pointers inside KnnMatch,
+    matcher.cpp:23-88)."""
+    M = last_assoc.shape[0]
+    ok = (match_idx >= 0) & inliers & (last_assoc >= 0)
+    tgt = jnp.where(ok, match_idx, M)
+    return jnp.full((M + 1,), -1, jnp.int32).at[tgt].max(
+        jnp.where(ok, last_assoc, -1)
+    )[:M]
+
+
+class LocalMapResult(NamedTuple):
+    T_cw: jnp.ndarray        # refined pose
+    assoc: jnp.ndarray       # [M] final landmark bindings (outliers dropped)
+    n_tracked: jnp.ndarray   # scalar int32 inlier landmark count
+    visible_mask: jnp.ndarray  # [L] frustum-visible landmarks
+    found_mask: jnp.ndarray    # [L] tracked-inlier landmarks
+    local_kf_mask: jnp.ndarray # [K]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_local_map(
+    m: ms.MapState,
+    frame: frame_mod.FrameData,
+    assoc: jnp.ndarray,
+    cfg: SystemConfig,
+) -> LocalMapResult:
+    cam = cfg.camera
+    K = m.kf_valid.shape[0]
+    L = m.lm_pos.shape[0]
+    M = assoc.shape[0]
+
+    # 1. covisibility vote: KFs sharing landmarks with the current frame
+    #    (tracking.cpp:263-307), local map capped at local_map_max_kfs
+    A = ms.incidence(m)                                  # [K,L]
+    cur = jnp.zeros((L + 1,), jnp.bfloat16).at[
+        jnp.where(assoc >= 0, assoc, L)
+    ].set(1.0)[:L]
+    votes = jnp.dot(A.astype(jnp.bfloat16), cur,
+                    preferred_element_type=jnp.float32)  # [K]
+    kf_rank = jnp.where(m.kf_valid & (votes > 0), votes, -1.0)
+    k_cap = min(cfg.tracking.local_map_max_kfs, K)
+    top_vals, top_idx = jax.lax.top_k(kf_rank, k_cap)
+    local_kf = jnp.zeros((K,), bool).at[top_idx].set(top_vals > 0)
+
+    # 2. local landmarks: seen by local KFs, not already bound
+    local_lm = jnp.any(A & local_kf[:, None], axis=0)    # [L]
+    bound = jnp.zeros((L + 1,), bool).at[
+        jnp.where(assoc >= 0, assoc, L)
+    ].set(True)[:L]
+    search_lm = local_lm & m.lm_valid & ~bound
+
+    # 3. frustum check + guided projection match (tracking.cpp:368-405)
+    vis, pred_uv, _, _ = camera.in_frustum(cam, frame.T_cw, m.lm_pos)
+    cand = search_lm & vis
+    pm = matching.projection_match(
+        m.lm_desc, cand, pred_uv,
+        frame.xy_und, frame.feat.desc, frame.feat.valid,
+        frame.feat.octave, assoc < 0,
+        radius=cfg.matcher.proj_radius,
+        th_high=float(cfg.matcher.th_high),
+        ratio=cfg.matcher.ratio_local,
+    )
+    # merge new bindings: landmark l matched feature pm.target_idx[l]
+    new_tgt = jnp.where(pm.valid, pm.target_idx, M)
+    assoc2 = jnp.concatenate([assoc, jnp.full((1,), -1, jnp.int32)]) \
+        .at[new_tgt].max(
+            jnp.where(pm.valid, jnp.arange(L, dtype=jnp.int32), -1)
+        )[:M]
+    assoc2 = jnp.where(assoc >= 0, assoc, assoc2)
+
+    # 4. pose-only BA over all bound landmarks (tracking.cpp:239)
+    lm_idx = jnp.where(assoc2 >= 0, assoc2, 0)
+    pts_w = m.lm_pos[lm_idx]
+    obs_valid = (assoc2 >= 0) & m.lm_valid[lm_idx] & frame.feat.valid
+    res = ba.pose_only_ba(
+        frame.T_cw, pts_w, frame.xy_und, frame.ur, frame.depth,
+        obs_valid, cam, cfg.ba,
+    )
+
+    # 5. drop outlier bindings (DiscardOutliers/CleanVOmatches semantics)
+    assoc_final = jnp.where(obs_valid & res.inliers, assoc2, -1)
+
+    # 6. visibility/found statistics (landmark.cpp found/visible ratio)
+    found = jnp.zeros((L + 1,), bool).at[
+        jnp.where(assoc_final >= 0, assoc_final, L)
+    ].set(True)[:L]
+    return LocalMapResult(
+        T_cw=res.T_cw,
+        assoc=assoc_final,
+        n_tracked=jnp.sum((assoc_final >= 0).astype(jnp.int32)),
+        visible_mask=cand | found,
+        found_mask=found,
+        local_kf_mask=local_kf,
+    )
+
+
+@functools.partial(jax.jit, donate_argnames=("m",))
+def update_lm_stats(m: ms.MapState, visible_mask, found_mask) -> ms.MapState:
+    return m._replace(
+        lm_visible=m.lm_visible + visible_mask.astype(jnp.int32),
+        lm_found=m.lm_found + found_mask.astype(jnp.int32),
+    )
+
+
+class Tracking:
+    """Host-side orchestration of the per-frame pipeline."""
+
+    def __init__(self, cfg: SystemConfig, seed: int = 0):
+        self.cfg = cfg
+        self.map = ms.init_map(cfg)
+        self.adaptive = init_adaptive_state(cfg.extractor)
+        self.key = jax.random.PRNGKey(seed)
+        self.state = "NO_IMAGES"
+        self.n_kfs = 0
+        self.next_lm = 0
+        self.kf_counter = 0
+        self.last_frame: frame_mod.FrameData | None = None
+        self.last_assoc: jnp.ndarray | None = None
+        self.last_kf_T: np.ndarray | None = None
+        self.poses: list[np.ndarray] = []
+        self.timestamps: list[float] = []
+        self.new_kf_slots: list[int] = []
+        self.stats: list[dict] = []
+
+    # -- keyframe insertion -------------------------------------------
+    def _insert_keyframe(self, frame, assoc, max_new: int):
+        slot = jnp.int32(self.n_kfs)
+        kf_id = jnp.int32(self.kf_counter)
+        self.map = ms.insert_keyframe(self.map, frame, assoc, slot, kf_id)
+        self.map, assoc, n_created = ms.create_landmarks(
+            self.map, frame, assoc, slot, kf_id, jnp.int32(self.next_lm),
+            max_new=max_new, th_depth=float(self.cfg.camera.th_depth),
+        )
+        self.next_lm += int(n_created)
+        self.n_kfs += 1
+        self.kf_counter += 1
+        self.last_kf_T = np.asarray(frame.T_cw)
+        self.new_kf_slots.append(int(slot))
+        return assoc
+
+    def track(self, img: np.ndarray, depth: np.ndarray, t: float = 0.0):
+        """Process one RGB-D frame; returns (T_cw ndarray, info dict)."""
+        cfg = self.cfg
+        frame, self.adaptive = frame_mod.make_frame(
+            jnp.asarray(img, jnp.float32), jnp.asarray(depth, jnp.float32),
+            cfg, self.adaptive,
+        )
+        info = {"new_kf": False}
+
+        if self.state == "NO_IMAGES":
+            frame = frame_mod.with_pose(frame, jnp.eye(4))
+            assoc = jnp.full((cfg.extractor.max_keypoints,), -1, jnp.int32)
+            assoc = self._insert_keyframe(frame, assoc,
+                                          max_new=cfg.extractor.max_keypoints)
+            self.state = "OK"
+            info["new_kf"] = True
+            info["n_tracked"] = int(jnp.sum(assoc >= 0))
+        else:
+            self.key, sub = jax.random.split(self.key)
+            odo = rba_step(self.last_frame, frame, sub, cfg)
+            frame = frame_mod.with_pose(frame, odo.T_cw2)
+            assoc = carry_associations(self.last_assoc, odo.match_idx,
+                                       odo.inliers)
+            lm_res = track_local_map(self.map, frame, assoc, cfg)
+            frame = frame_mod.with_pose(frame, lm_res.T_cw)
+            assoc = lm_res.assoc
+            self.map = update_lm_stats(self.map, lm_res.visible_mask,
+                                       lm_res.found_mask)
+
+            n_tracked = int(lm_res.n_tracked)
+            info.update(
+                n_tracked=n_tracked,
+                n_matches=int(odo.n_matches),
+                ransac_inliers=int(odo.n_inliers),
+            )
+
+            # keyframe decision (tracking.cpp:449-476)
+            dt, dr = pose_distance(jnp.asarray(self.last_kf_T), frame.T_cw)
+            need = (
+                float(dt) > cfg.tracking.kf_min_trans
+                or float(dr) > cfg.tracking.kf_min_rot
+            )
+            if need and self.n_kfs < cfg.map.max_keyframes:
+                assoc = self._insert_keyframe(
+                    frame, assoc, max_new=cfg.tracking.max_vo_points
+                )
+                info["new_kf"] = True
+
+        self.last_frame = frame
+        self.last_assoc = assoc
+        T = np.asarray(frame.T_cw)
+        self.poses.append(T)
+        self.timestamps.append(t)
+        self.stats.append(info)
+        return T, info

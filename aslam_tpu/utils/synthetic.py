@@ -12,7 +12,30 @@ from __future__ import annotations
 import numpy as np
 
 from aslam_tpu.config import CameraModel
-from aslam_tpu.utils import se3 as se3_np  # jnp-based, fine on host too
+
+
+def _np_se3_exp(xi: np.ndarray) -> np.ndarray:
+    """Pure-numpy se(3) exponential (keeps the generator JAX-free so it
+    never pays device-compile latency)."""
+    rho, phi = xi[:3], xi[3:]
+    theta = float(np.linalg.norm(phi))
+    K = np.array([
+        [0.0, -phi[2], phi[1]],
+        [phi[2], 0.0, -phi[0]],
+        [-phi[1], phi[0], 0.0],
+    ])
+    if theta < 1e-8:
+        R = np.eye(3) + K
+        V = np.eye(3) + 0.5 * K
+    else:
+        a, b = np.sin(theta) / theta, (1 - np.cos(theta)) / theta**2
+        c = (theta - np.sin(theta)) / theta**3
+        R = np.eye(3) + a * K + b * (K @ K)
+        V = np.eye(3) + b * K + c * (K @ K)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    T[:3, 3] = V @ rho
+    return T
 
 
 def random_scene(
@@ -39,7 +62,7 @@ def camera_trajectory(n_frames: int, step_t: float = 0.02, step_r: float = 0.01,
             rng.normal(0.0, step_t, 3),
             rng.normal(0.0, step_r, 3),
         ]).astype(np.float32)
-        delta = np.asarray(se3_np.se3_exp(xi))
+        delta = _np_se3_exp(xi)
         poses.append((delta @ poses[-1]).astype(np.float32))
     return np.stack(poses)
 

@@ -1,0 +1,96 @@
+"""Benchmark: frames/s/chip for the full frame-to-frame tracking step on
+real hardware (BASELINE.md config 1 shape: 640x480 RGB-D, 1000+ features,
+256 RANSAC hypotheses, motion-only BA refinement).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against the reference pipeline's tracking rate.  The
+reference publishes no numbers (BASELINE.md) and cannot run here (needs
+OpenCV/PCL/g2o + TUM data); we use 30 fps as the baseline figure — the
+standard ORB-SLAM2-class tracking rate on desktop CPU that this
+ORB-SLAM2-derived system targets (its Viewer HUD shows mean track time
+against a 33 ms frame budget).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_FPS = 30.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from aslam_tpu.config import SystemConfig, CameraModel
+    from aslam_tpu.models import frame as frame_mod
+    from aslam_tpu.models.extractor import init_adaptive_state
+    from aslam_tpu.models.odometry import rba_step
+    from aslam_tpu.utils import synthetic
+
+    log("devices:", jax.devices())
+
+    # TUM-shaped workload, full-size config, no lens distortion in the
+    # synthetic render (undistortion math still runs).
+    cam = CameraModel(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
+                      width=640, height=480)
+    cfg = SystemConfig(camera=cam)
+
+    n_frames = 24
+    log("rendering synthetic sequence...")
+    imgs, depths, poses, _ = synthetic.make_sequence(
+        n_frames=n_frames, n_points=1500, cam=cam, seed=5
+    )
+
+    state = init_adaptive_state(cfg.extractor)
+    key = jax.random.PRNGKey(0)
+
+    # warmup: compile make_frame + rba_step
+    log("compiling...")
+    t0 = time.time()
+    f_prev, state = frame_mod.make_frame(
+        jnp.asarray(imgs[0]), jnp.asarray(depths[0]), cfg, state)
+    f_prev = frame_mod.with_pose(f_prev, jnp.eye(4))
+    f1, state = frame_mod.make_frame(
+        jnp.asarray(imgs[1]), jnp.asarray(depths[1]), cfg, state)
+    res = rba_step(f_prev, f1, key, cfg)
+    jax.block_until_ready(res.T_cw2)
+    log(f"compile+warmup {time.time() - t0:.1f}s")
+
+    # timed loop (device-to-device chaining; images uploaded per frame as a
+    # real pipeline would)
+    t0 = time.time()
+    prev = f_prev
+    n_timed = 0
+    for i in range(1, n_frames):
+        key, sub = jax.random.split(key)
+        f, state = frame_mod.make_frame(
+            jnp.asarray(imgs[i]), jnp.asarray(depths[i]), cfg, state)
+        res = rba_step(prev, f, sub, cfg)
+        prev = frame_mod.with_pose(f, res.T_cw2)
+        n_timed += 1
+    jax.block_until_ready(prev.T_cw)
+    dt = time.time() - t0
+    fps = n_timed / dt
+    log(f"{n_timed} frames in {dt:.3f}s -> {fps:.1f} fps")
+    log(f"last frame: inliers={int(res.n_inliers)} matches={int(res.n_matches)}")
+
+    print(json.dumps({
+        "metric": "tracking_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""MapState array-land semantics: insertion, landmark creation, derived
+structures, culling."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from aslam_tpu.config import small_config
+from aslam_tpu.models import frame as frame_mod
+from aslam_tpu.models import mapstate as ms
+from aslam_tpu.models.extractor import init_adaptive_state
+from aslam_tpu.utils import synthetic
+
+
+def make_test_frame(cfg, seed=0, pose=None):
+    imgs, depths, poses, pts = synthetic.make_sequence(
+        n_frames=1, n_points=300, cam=cfg.camera, seed=seed
+    )
+    state = init_adaptive_state(cfg.extractor)
+    f, _ = frame_mod.make_frame(
+        jnp.asarray(imgs[0]), jnp.asarray(depths[0]), cfg, state
+    )
+    return frame_mod.with_pose(f, jnp.asarray(pose if pose is not None else poses[0]))
+
+
+def test_insert_and_create_landmarks():
+    cfg = small_config()
+    m = ms.init_map(cfg)
+    f = make_test_frame(cfg)
+    M = cfg.extractor.max_keypoints
+    assoc = jnp.full((M,), -1, jnp.int32)
+    m = ms.insert_keyframe(m, f, assoc, jnp.int32(0), jnp.int32(0))
+    assert bool(m.kf_valid[0])
+    m, assoc, n_created = ms.create_landmarks(
+        m, f, assoc, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        max_new=M, th_depth=float(cfg.camera.th_depth),
+    )
+    n = int(n_created)
+    assert n > 20
+    assert int(jnp.sum(m.lm_valid)) == n
+    assert int(jnp.sum(assoc >= 0)) == n
+    # bindings recorded in the KF row
+    np.testing.assert_array_equal(np.asarray(m.kf_lm[0]), np.asarray(assoc))
+    # landmark positions: world = camera since pose is first frame
+    obs = ms.observation_counts(m)
+    assert int(obs.max()) == 1
+    assert int(jnp.sum(obs)) == n
+
+
+def test_create_landmarks_respects_max_new():
+    cfg = small_config()
+    m = ms.init_map(cfg)
+    f = make_test_frame(cfg)
+    M = cfg.extractor.max_keypoints
+    assoc = jnp.full((M,), -1, jnp.int32)
+    m = ms.insert_keyframe(m, f, assoc, jnp.int32(0), jnp.int32(0))
+    m, assoc, n_created = ms.create_landmarks(
+        m, f, assoc, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        max_new=10, th_depth=float(cfg.camera.th_depth),
+    )
+    assert int(n_created) == 10
+    # the 10 chosen are the closest eligible features
+    chosen_z = np.asarray(f.depth)[np.asarray(assoc) >= 0]
+    eligible = np.asarray(f.has_depth) & (np.asarray(f.depth) < cfg.camera.th_depth) \
+        & np.asarray(f.feat.valid)
+    all_z = np.sort(np.asarray(f.depth)[eligible])
+    assert np.max(chosen_z) <= all_z[min(10, len(all_z)) - 1] + 1e-5
+
+
+def test_covisibility_counts_shared():
+    cfg = small_config()
+    m = ms.init_map(cfg)
+    f = make_test_frame(cfg)
+    M = cfg.extractor.max_keypoints
+    assoc = jnp.full((M,), -1, jnp.int32)
+    m = ms.insert_keyframe(m, f, assoc, jnp.int32(0), jnp.int32(0))
+    m, assoc, n0 = ms.create_landmarks(
+        m, f, assoc, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        max_new=M, th_depth=float(cfg.camera.th_depth),
+    )
+    # second KF shares ~half the landmarks
+    assoc2 = np.full(M, -1, np.int32)
+    shared = np.asarray(assoc) >= 0
+    idx = np.nonzero(shared)[0]
+    take = idx[: len(idx) // 2]
+    assoc2[take] = np.asarray(assoc)[take]
+    m = ms.insert_keyframe(m, f, jnp.asarray(assoc2), jnp.int32(1), jnp.int32(1))
+    W = np.asarray(ms.covisibility(m))
+    assert W[0, 1] == W[1, 0] == len(take)
+    assert W[0, 0] == 0
+
+
+def test_landmark_culling_low_found_ratio():
+    cfg = small_config()
+    m = ms.init_map(cfg)
+    f = make_test_frame(cfg)
+    M = cfg.extractor.max_keypoints
+    assoc = jnp.full((M,), -1, jnp.int32)
+    m = ms.insert_keyframe(m, f, assoc, jnp.int32(0), jnp.int32(0))
+    m, assoc, n = ms.create_landmarks(
+        m, f, assoc, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        max_new=M, th_depth=float(cfg.camera.th_depth),
+    )
+    n = int(n)
+    # landmark 0: visible 10 found 1 (ratio 0.1 < 0.25) -> culled
+    m = m._replace(
+        lm_visible=m.lm_visible.at[0].set(10),
+        lm_found=m.lm_found.at[0].set(1),
+    )
+    m2 = ms.landmark_culling(m, jnp.int32(0), cfg)
+    assert not bool(m2.lm_valid[0])
+    # its observation was unbound
+    assert not np.any(np.asarray(m2.kf_lm) == 0)
+    # others with no visibility stats survive while young
+    assert int(jnp.sum(m2.lm_valid)) == n - 1
+
+
+def test_refresh_descriptors_picks_medoid():
+    cfg = small_config()
+    m = ms.init_map(cfg)
+    L = cfg.map.max_landmarks
+    M = cfg.extractor.max_keypoints
+    f = make_test_frame(cfg)
+    assoc = jnp.full((M,), -1, jnp.int32)
+    m = ms.insert_keyframe(m, f, assoc, jnp.int32(0), jnp.int32(0))
+    m, assoc, _ = ms.create_landmarks(
+        m, f, assoc, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        max_new=M, th_depth=float(cfg.camera.th_depth),
+    )
+    mask = jnp.ones((L,), bool)
+    m2 = ms.refresh_landmark_descriptors(m, mask)
+    # single observation -> descriptor equals the observing feature's
+    a = np.asarray(assoc)
+    feats = np.asarray(f.feat.desc)
+    for i in np.nonzero(a >= 0)[0][:10]:
+        np.testing.assert_array_equal(
+            np.asarray(m2.lm_desc[a[i]]), feats[i]
+        )

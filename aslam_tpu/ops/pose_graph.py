@@ -41,15 +41,50 @@ def edge_residual(T_i, T_j, M):
     return se3_log(T_inv(M) @ T_i @ T_inv(T_j))
 
 
+def _hat3(v):
+    z = jnp.zeros_like(v[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -v[..., 2], v[..., 1]], -1),
+        jnp.stack([v[..., 2], z, -v[..., 0]], -1),
+        jnp.stack([-v[..., 1], v[..., 0], z], -1),
+    ], -2)
+
+
+def _ad_se3(xi):
+    """se(3) adjoint for twist ordering [rho, phi]: [[phi^, rho^],[0, phi^]]."""
+    rho, phi = xi[..., :3], xi[..., 3:]
+    ph = _hat3(phi)
+    rh = _hat3(rho)
+    top = jnp.concatenate([ph, rh], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(ph), ph], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _Ad(T):
+    """SE(3) adjoint for twist ordering [rho, phi]: [[R, t^ R],[0, R]]."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    top = jnp.concatenate([R, _hat3(t) @ R], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def _edge_jacobians(T_i, T_j, M):
-    """[6,6] Jacobians of the residual w.r.t. left-perturbations of i, j."""
+    """[6,6] Jacobians of the residual w.r.t. left-perturbations of i, j.
 
-    def r_of(xi_i, xi_j):
-        return edge_residual(se3_exp(xi_i) @ T_i, se3_exp(xi_j) @ T_j, M)
-
-    z = jnp.zeros(6)
-    Ji = jax.jacfwd(r_of, argnums=0)(z, z)
-    Jj = jax.jacfwd(r_of, argnums=1)(z, z)
+    Analytic first-order form (the standard pose-graph linearization):
+      r(xi_i) = log(M^-1 exp(xi_i) T_i T_j^-1)
+              = log(exp(Ad(M^-1) xi_i) exp(r))   =>  Ji = Jl^-1(r) Ad(M^-1)
+      r(xi_j) = log(exp(r) exp(-xi_j))           =>  Jj = -Jr^-1(r)
+    with Jl^-1(r) ~ I - ad(r)/2, Jr^-1(r) ~ I + ad(r)/2 — exact at r = 0
+    (where autodiff through the matrix log is NaN) and accurate enough for
+    Gauss-Newton convergence elsewhere.
+    """
+    r = edge_residual(T_i, T_j, M)
+    eye = jnp.eye(6, dtype=r.dtype)
+    ad_r = _ad_se3(r)
+    Ji = (eye - 0.5 * ad_r) @ _Ad(T_inv(M))
+    Jj = -(eye + 0.5 * ad_r)
     return Ji, Jj
 
 

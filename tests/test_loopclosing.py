@@ -1,0 +1,152 @@
+"""Loop closing end-to-end on a hand-built drifted map.
+
+A corridor of keyframes accumulates drift; the last KF revisits the first
+location and observes the same scene points with the same descriptors.  The
+loop closer must: train a vocabulary, find the first KF as a candidate
+(skipping covisible/recent KFs), verify it geometrically with RANSAC, and
+pull the drifted trajectory back via pose-graph optimization + landmark
+re-anchoring."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from aslam_tpu.config import small_config
+from aslam_tpu.models import mapstate as ms
+from aslam_tpu.models.loopclosing import LoopClosing
+from aslam_tpu.utils import camera, synthetic
+from aslam_tpu.utils.se3 import T_inv
+
+
+def build_looped_map(rng, n_kfs=14, drift_per_step=0.008):
+    """KFs 0..n-1 along +x and back; KF n-1 at the same true pose as KF 0.
+    Estimated poses accumulate drift.  Each KF observes the points in front
+    of its TRUE pose; the same world point always carries the same
+    descriptor."""
+    cfg = small_config()
+    cam = cfg.camera
+    M = cfg.extractor.max_keypoints
+    L = cfg.map.max_landmarks
+
+    # world points scattered along the corridor (z forward from origin)
+    n_pts = 600
+    pts = np.stack([
+        rng.uniform(-1.0, 3.0, n_pts),
+        rng.uniform(-1.0, 1.0, n_pts),
+        rng.uniform(1.5, 3.5, n_pts),
+    ], -1).astype(np.float32)
+    descs = rng.integers(0, 2**32, (n_pts, 8), dtype=np.uint32)
+
+    # true poses: out along +x then back; last pose == first pose
+    xs = np.concatenate([
+        np.linspace(0, 2.0, n_kfs // 2),
+        np.linspace(2.0, 0.0, n_kfs - n_kfs // 2),
+    ])
+    xs[-1] = 0.0
+    T_true = []
+    for x in xs:
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = -x   # camera at world x: T_cw translation = -x
+        T_true.append(T)
+    T_true = np.stack(T_true)
+
+    # drifted estimates (drift grows with index; KF0 exact)
+    T_est = T_true.copy()
+    acc = np.zeros(3, np.float32)
+    for i in range(1, n_kfs):
+        acc += rng.normal(0, drift_per_step, 3).astype(np.float32)
+        T_est[i, :3, 3] += acc
+    drift_final = float(np.linalg.norm(T_est[-1, :3, 3] - T_true[-1, :3, 3]))
+
+    m = ms.init_map(cfg)
+    next_lm = 0
+    lm_of_point = np.full(n_pts, -1, np.int64)
+    lm_created_kf = np.full(n_pts, -(10**6), np.int64)
+    for k in range(n_kfs):
+        Tt = T_true[k]
+        pc = pts @ Tt[:3, :3].T + Tt[:3, 3]
+        uv, z = camera.project(cam, jnp.asarray(pc))
+        uv, z = np.asarray(uv), np.asarray(z)
+        vis = (z > 0.2) & (uv[:, 0] > 5) & (uv[:, 0] < cam.width - 5) \
+            & (uv[:, 1] > 5) & (uv[:, 1] < cam.height - 5) \
+            & (np.abs(pts[:, 0] - xs[k]) < 0.8)  # narrow effective FOV so
+        # points leave view mid-run and association breaks before revisit
+        sel = np.nonzero(vis)[0][:M]
+        n_f = len(sel)
+
+        kf_xy = np.zeros((M, 2), np.float32)
+        kf_z = np.zeros(M, np.float32)
+        kf_desc = np.zeros((M, 8), np.uint32)
+        kp_valid = np.zeros(M, bool)
+        assoc = np.full(M, -1, np.int32)
+        kf_xy[:n_f] = uv[sel]
+        kf_z[:n_f] = z[sel]
+        kf_desc[:n_f] = descs[sel]
+        kp_valid[:n_f] = True
+        for f, p_i in enumerate(sel):
+            # drift breaks long-range data association: a point unseen for
+            # >3 KFs gets a fresh duplicate landmark (exactly what happens
+            # before a loop closure in the real pipeline)
+            if lm_of_point[p_i] < 0 or k - lm_created_kf[p_i] > 3:
+                lm_of_point[p_i] = next_lm
+                m = m._replace(
+                    lm_pos=m.lm_pos.at[next_lm].set(jnp.asarray(pts[p_i])),
+                    lm_desc=m.lm_desc.at[next_lm].set(jnp.asarray(descs[p_i])),
+                    lm_valid=m.lm_valid.at[next_lm].set(True),
+                    lm_first_kf=m.lm_first_kf.at[next_lm].set(k),
+                )
+                next_lm += 1
+            lm_created_kf[p_i] = k  # continuous visibility keeps the lm
+            assoc[f] = lm_of_point[p_i]
+
+        ur = np.where(kf_z > 0, kf_xy[:, 0] - cam.bf / np.maximum(kf_z, 1e-6), -1.0)
+        m = m._replace(
+            kf_T_cw=m.kf_T_cw.at[k].set(jnp.asarray(T_est[k])),
+            kf_valid=m.kf_valid.at[k].set(True),
+            kf_id=m.kf_id.at[k].set(k),
+            kf_xy=m.kf_xy.at[k].set(jnp.asarray(kf_xy)),
+            kf_ur=m.kf_ur.at[k].set(jnp.asarray(ur.astype(np.float32))),
+            kf_z=m.kf_z.at[k].set(jnp.asarray(kf_z)),
+            kf_desc=m.kf_desc.at[k].set(jnp.asarray(kf_desc)),
+            kf_kp_valid=m.kf_kp_valid.at[k].set(jnp.asarray(kp_valid)),
+            kf_lm=m.kf_lm.at[k].set(jnp.asarray(assoc)),
+        )
+    return cfg, m, T_true, T_est, drift_final, n_kfs
+
+
+def test_loop_detected_and_corrected(rng):
+    cfg, m, T_true, T_est, drift, n_kfs = build_looped_map(rng)
+    assert drift > 0.02, "test needs visible drift"
+
+    lc = LoopClosing(cfg, train_after_kfs=4)
+    # feed keyframes in order; only the last should close a loop
+    for k in range(n_kfs):
+        m = lc.process_keyframe(m, k, k)
+
+    assert len(lc.loops) >= 1, "no loop detected"
+    q, c = lc.loops[-1]
+    # the loop must connect a return-path KF to an outbound KF that was at
+    # a nearby true position (the camera retraces its path)
+    assert q >= n_kfs // 2 and c < n_kfs // 2, (q, c)
+    # camera x = -T_cw translation x; pair must share a view band
+    xs_err = abs(float(-T_true[q][0, 3]) - float(-T_true[c][0, 3]))
+    assert xs_err < 1.6, f"loop pair {q}<->{c} views don't overlap"
+
+    # drift at the loop-closing KF reduced vs its pre-correction estimate
+    err_before = float(np.linalg.norm(T_est[q][:3, 3] - T_true[q][:3, 3]))
+    err_after = float(np.linalg.norm(
+        np.asarray(m.kf_T_cw)[q][:3, 3] - T_true[q][:3, 3]
+    ))
+    assert err_after < err_before * 0.8, (
+        f"drift {err_before:.4f} -> {err_after:.4f}"
+    )
+
+
+def test_no_loop_without_revisit(rng):
+    """A straight-out corridor (no revisit) must not close loops: every
+    candidate is blocked by the gap/covisibility/geometry gates."""
+    cfg, m, T_true, T_est, drift, n_kfs = build_looped_map(rng)
+    lc = LoopClosing(cfg, train_after_kfs=4)
+    # only feed the outbound half (no revisit)
+    for k in range(n_kfs // 2):
+        m = lc.process_keyframe(m, k, k)
+    assert len(lc.loops) == 0

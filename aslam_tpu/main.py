@@ -1,0 +1,119 @@
+"""CLI driver: run the SLAM system on a TUM RGB-D sequence.
+
+Replaces `main.cpp` (reference driver: dataset loop, subsystem
+construction, shutdown, trajectory export, main.cpp:25-143) — but where
+the reference hardcodes dataset paths and algorithm choices as
+compile-time constants (main.cpp:17-23), everything here is a CLI flag
+over the typed config tree.
+
+Usage:
+  python -m aslam_tpu.main --dataset /data/rgbd_dataset_freiburg1_xyz \
+      --camera fr1 --mode slam --out-dir results/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from aslam_tpu import config as cfg_mod
+from aslam_tpu.config import SystemConfig
+
+
+CAMERAS = {
+    "fr1": cfg_mod.TUM_FR1,
+    "fr2": cfg_mod.TUM_FR2,
+    "fr3": cfg_mod.TUM_FR3,
+    "icl": cfg_mod.ICL_NUIM,
+}
+
+
+def build_config(args) -> SystemConfig:
+    cfg = SystemConfig(camera=CAMERAS[args.camera])
+    if args.mode == "vo":
+        pass
+    elif args.mode == "slam":
+        pass
+    elif args.mode == "slam+loop":
+        cfg = cfg.replace(use_loop_closing=True)
+    elif args.mode == "slam+gicp":
+        cfg = cfg.replace(use_gicp=True, use_loop_closing=True)
+    return cfg
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native RGB-D SLAM")
+    ap.add_argument("--dataset", required=True,
+                    help="TUM sequence dir with associations.txt")
+    ap.add_argument("--camera", choices=sorted(CAMERAS), default="fr1")
+    ap.add_argument("--mode", choices=["vo", "slam", "slam+loop", "slam+gicp"],
+                    default="slam")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--out-dir", default=".")
+    ap.add_argument("--checkpoint", default="",
+                    help="save map checkpoint here at the end")
+    ap.add_argument("--resume", default="", help="load map checkpoint")
+    ap.add_argument("--render-map", action="store_true")
+    args = ap.parse_args(argv)
+
+    from aslam_tpu.utils.dataset import TumSequence
+    from aslam_tpu.utils.metrics import Metrics
+
+    cfg = build_config(args)
+    seq = TumSequence(args.dataset, depth_factor=cfg.camera.depth_factor)
+    n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
+    metrics = Metrics()
+
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.mode == "vo":
+        from aslam_tpu.models.vo import VisualOdometry
+
+        engine = VisualOdometry(cfg)
+        for i in range(n):
+            t, img, depth = seq[i]
+            with metrics.timer("track"):
+                engine.process(img, depth, t)
+            metrics.count("frames")
+        poses, timestamps = engine.poses, engine.timestamps
+        from aslam_tpu.utils.trajectory import save_tum_trajectory
+
+        save_tum_trajectory(os.path.join(args.out_dir, "CameraTrajectory.txt"),
+                            np.asarray(timestamps), np.stack(poses))
+    else:
+        from aslam_tpu.models.system import SlamSystem
+        from aslam_tpu.utils import checkpoint as ckpt
+
+        slam = SlamSystem(cfg)
+        if args.resume:
+            ckpt.load_system(args.resume, slam)
+        t0 = time.time()
+        for i in range(n):
+            t, img, depth = seq[i]
+            with metrics.timer("track"):
+                slam.process(img, depth, t)
+            metrics.count("frames")
+            if i % 50 == 0:
+                mean_ms = 1e3 * (time.time() - t0) / max(i, 1)
+                print(f"[{i}/{n}] mean {mean_ms:.1f} ms/frame", flush=True)
+        # exports (main.cpp:124-126)
+        slam.save_trajectory(os.path.join(args.out_dir, "CameraTrajectory.txt"))
+        slam.save_keyframe_trajectory(
+            os.path.join(args.out_dir, "KeyFrameTrajectory.txt"))
+        if args.checkpoint:
+            ckpt.save_system(args.checkpoint, slam)
+        if args.render_map:
+            from aslam_tpu.utils.viewer import render_map
+
+            render_map(slam, os.path.join(args.out_dir, "map.png"))
+
+    metrics.dump(os.path.join(args.out_dir, "metrics.json"))
+    print(json.dumps(metrics.summary()["timers"], indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,7 @@ class FrameData(NamedTuple):
     depth: jnp.ndarray      # [M] sampled depth (m), 0 where invalid
     has_depth: jnp.ndarray  # [M] bool
     T_cw: jnp.ndarray       # [4,4] world-to-camera pose
+    depth_map: jnp.ndarray  # [H,W] full depth image (for ICP refinement)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
@@ -67,6 +68,7 @@ def _make_frame_impl(
         depth=z,
         has_depth=has_depth,
         T_cw=jnp.eye(4),
+        depth_map=depth_map,
     )
     return frame, new_grid
 

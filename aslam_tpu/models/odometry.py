@@ -37,6 +37,82 @@ class OdometryResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def ransac_step(
+    f1: FrameData,
+    f2: FrameData,
+    key: jnp.ndarray,
+    cfg: SystemConfig,
+):
+    """Match + RANSAC only (the shared first stage of every policy).
+    Returns (T12, match Matches, pair_valid, RansacResult)."""
+    m = matching.knn_ratio_match(
+        f1.feat.desc, f1.feat.valid, f2.feat.desc, f2.feat.valid,
+        ratio=cfg.matcher.ratio_frame, max_dist=float(cfg.matcher.th_high),
+    )
+    m = matching.resolve_duplicates(m, f2.feat.desc.shape[0])
+    tgt = jnp.maximum(m.target_idx, 0)
+    p1 = f1.p3d
+    p2 = f2.p3d[tgt]
+    pair_valid = m.valid & f1.has_depth & f2.has_depth[tgt]
+    res = ransac.ransac_align(p1, p2, pair_valid, key, cfg.ransac, cfg.camera)
+    return m, pair_valid, res
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "warm_from_ransac"))
+def _icp_refine_step(
+    f1: FrameData,
+    f2: FrameData,
+    pair_valid: jnp.ndarray,
+    T_ransac: jnp.ndarray,
+    cfg: SystemConfig,
+    warm_from_ransac: bool,
+):
+    from aslam_tpu.ops import icp
+
+    T_init = T_ransac if warm_from_ransac else jnp.eye(4)
+    return icp.icp_refine(
+        f1.p3d, f1.has_depth & pair_valid, f2.depth_map, T_init,
+        cfg.camera, cfg.icp,
+    )
+
+
+def ricp_step(
+    f1: FrameData,
+    f2: FrameData,
+    key: jnp.ndarray,
+    cfg: SystemConfig,
+) -> OdometryResult:
+    """ADAPTIVE_RICP policy (odometry.cpp:46-78): RANSAC, then escalate to
+    ICP when inliers < 20 or rmse*10 >= 7; ICP warm-starts from the RANSAC
+    transform unless rmse*10 >= 20 (then identity).  The escalation branch
+    reads two scalars on the host, mirroring the reference's CPU branch."""
+    m, pair_valid, res = ransac_step(f1, f2, key, cfg)
+    n_inl = int(res.n_inliers)
+    rmse = float(res.rmse)
+    T12 = res.T12
+    if (n_inl < cfg.icp.escalate_min_inliers
+            or rmse * 10.0 >= cfg.icp.escalate_rmse * 10.0):
+        warm = rmse * 10.0 < cfg.icp.restart_rmse * 10.0
+        icp_res = _icp_refine_step(f1, f2, pair_valid, res.T12, cfg,
+                                   warm_from_ransac=warm)
+        if bool(icp_res.converged):
+            T12 = icp_res.T12
+        elif not warm:
+            T12 = jnp.eye(4)
+    T_cw2 = T12 @ f1.T_cw
+    return OdometryResult(
+        T_cw2=T_cw2,
+        T12=T12,
+        match_idx=m.target_idx,
+        inliers=res.inliers,
+        n_matches=jnp.sum(m.valid.astype(jnp.int32)),
+        n_inliers=res.n_inliers,
+        rmse=res.rmse,
+        ba_inliers=jnp.int32(0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def rba_step(
     f1: FrameData,
     f2: FrameData,

@@ -202,7 +202,13 @@ class Tracking:
             info["n_tracked"] = int(jnp.sum(assoc >= 0))
         else:
             self.key, sub = jax.random.split(self.key)
-            odo = rba_step(self.last_frame, frame, sub, cfg)
+            if cfg.use_gicp:
+                # ADAPTIVE_RICP policy (odometry.cpp:46-78)
+                from aslam_tpu.models.odometry import ricp_step
+
+                odo = ricp_step(self.last_frame, frame, sub, cfg)
+            else:
+                odo = rba_step(self.last_frame, frame, sub, cfg)
             frame = frame_mod.with_pose(frame, odo.T_cw2)
             assoc = carry_associations(self.last_assoc, odo.match_idx,
                                        odo.inliers)

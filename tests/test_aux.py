@@ -1,0 +1,124 @@
+"""Auxiliary subsystems: checkpoint/resume, viewer, metrics, DBSCAN,
+homography/evaluation tools."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aslam_tpu.config import small_config
+from aslam_tpu.ops import dbscan
+from aslam_tpu.utils import checkpoint, evaluation, metrics
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from tests.test_slam_synthetic import run_system
+
+    slam, _ = run_system(n_frames=5)
+    path = str(tmp_path / "map.npz")
+    checkpoint.save_system(path, slam)
+
+    slam2, _ = run_system(n_frames=2)  # different state
+    checkpoint.load_system(path, slam2)
+    assert slam2.tracking.n_kfs == slam.tracking.n_kfs
+    for f in slam.map._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(slam.map, f)),
+            np.asarray(getattr(slam2.map, f)),
+            err_msg=f,
+        )
+
+
+def test_viewer_renders(tmp_path):
+    from aslam_tpu.utils import viewer
+    from tests.test_slam_synthetic import run_system
+
+    slam, _ = run_system(n_frames=5)
+    hud = viewer.hud_counters(slam)
+    assert hud["keyframes"] >= 1 and hud["landmarks"] > 0
+    path = str(tmp_path / "map.png")
+    viewer.render_map(slam, path)
+    assert os.path.getsize(path) > 5000
+
+
+def test_metrics_timers():
+    m = metrics.Metrics()
+    with m.timer("stage"):
+        x = jnp.ones((64, 64)) * 2
+    with m.timer("stage", sync=x):
+        pass
+    m.count("frames", 3)
+    m.record("ate", 0.01)
+    s = m.summary()
+    assert s["timers"]["stage"]["n"] == 2
+    assert s["counters"]["frames"] == 3
+
+
+def test_dbscan_clusters_and_noise(rng):
+    # two tight clusters + isolated points
+    pts = np.concatenate([
+        rng.normal([50, 50], 2.0, (20, 2)),
+        rng.normal([150, 100], 2.0, (15, 2)),
+        [[10, 200], [300, 20], [200, 220]],
+    ]).astype(np.float32)
+    valid = np.ones(len(pts), bool)
+    labels = np.asarray(dbscan.dbscan_labels(
+        jnp.asarray(pts), jnp.asarray(valid), eps=10.0, min_pts=3))
+    l0 = labels[:20]
+    l1 = labels[20:35]
+    assert len(np.unique(l0)) == 1 and l0[0] >= 0
+    assert len(np.unique(l1)) == 1 and l1[0] >= 0
+    assert l0[0] != l1[0]
+    assert (labels[35:] == -1).all()
+
+
+def test_dbscan_decluster_keeps_strongest(rng):
+    pts = np.concatenate([
+        rng.normal([50, 50], 2.0, (10, 2)),
+        [[200, 200]],
+    ]).astype(np.float32)
+    resp = np.arange(11, dtype=np.float32)
+    keep = np.asarray(dbscan.decluster(
+        jnp.asarray(pts), jnp.asarray(resp), jnp.ones(11, bool),
+        eps=10.0, min_pts=2, keep_per_cluster=1))
+    # strongest of the cluster (index 9) survives, the rest die
+    assert keep[9] and not keep[:9].any()
+    # isolated point survives
+    assert keep[10]
+
+
+def test_homography_dlt_exact(rng):
+    H_true = np.array([[1.1, 0.02, 5.0], [-0.03, 0.95, -3.0], [1e-4, -2e-4, 1.0]])
+    src = rng.uniform(0, 300, (40, 2)).astype(np.float32)
+    dst = np.asarray(evaluation.apply_homography(jnp.asarray(H_true), jnp.asarray(src)))
+    H = np.asarray(evaluation.homography_dlt(
+        jnp.asarray(src), jnp.asarray(dst), jnp.ones(40)))
+    np.testing.assert_allclose(H, H_true, atol=1e-3)
+
+
+def test_homography_ransac_with_outliers(rng):
+    H_true = np.array([[1.0, 0.01, 8.0], [0.0, 1.05, -4.0], [0.0, 0.0, 1.0]])
+    src = rng.uniform(0, 300, (100, 2)).astype(np.float32)
+    dst = np.array(evaluation.apply_homography(jnp.asarray(H_true), jnp.asarray(src)))
+    dst[70:] += rng.uniform(30, 80, (30, 2))
+    H, inl, n = evaluation.find_homography_ransac(
+        jnp.asarray(src), jnp.asarray(dst.astype(np.float32)),
+        jnp.ones(100, bool), jax.random.PRNGKey(0))
+    assert int(n) >= 65
+    proj = np.asarray(evaluation.apply_homography(H, jnp.asarray(src[:70])))
+    assert np.linalg.norm(proj - dst[:70], axis=1).max() < 2.0
+
+
+def test_recall_precision_curve(rng):
+    n = 60
+    desc1 = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    desc2 = desc1.copy()  # perfect descriptors
+    xy1 = rng.uniform(0, 300, (n, 2)).astype(np.float32)
+    H = np.eye(3)
+    xy2 = xy1.copy()
+    ts, recall, precision = evaluation.recall_precision_curve(
+        desc1, desc2, xy1, xy2, H)
+    assert recall[-1] > 0.99        # everything matched at max threshold
+    assert precision[-1] > 0.99     # and correctly
+    assert recall[0] <= recall[-1]  # monotone-ish

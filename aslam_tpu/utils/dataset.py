@@ -104,23 +104,53 @@ def load_depth(path: str, depth_factor: float = 1.0 / 5000.0) -> np.ndarray:
 
 
 class TumSequence:
-    """Iterable RGB-D sequence with optional native prefetch."""
+    """Iterable RGB-D sequence with background prefetch.
+
+    The reference decodes synchronously inside the frame loop
+    (main.cpp:94-95).  Here decode runs ahead on a thread pool: the native
+    C++ decoder releases the GIL for the duration of each ctypes call, so
+    `lookahead` frames decode in parallel with device compute.
+    """
 
     def __init__(self, dataset_dir: str, depth_factor: float = 1.0 / 5000.0,
-                 association_file: str = "associations.txt"):
+                 association_file: str = "associations.txt",
+                 lookahead: int = 4, workers: int = 2):
         self.assoc = load_associations(dataset_dir, association_file)
         self.depth_factor = depth_factor
+        self.lookahead = lookahead
+        self._pool = None
+        self._futures: dict[int, object] = {}
+        if lookahead > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=workers)
 
     def __len__(self) -> int:
         return len(self.assoc.rgb_paths)
 
-    def __getitem__(self, i: int):
+    def _load(self, i: int):
         return (
             self.assoc.timestamps[i],
             load_rgb_gray(self.assoc.rgb_paths[i]),
             load_depth(self.assoc.depth_paths[i], self.depth_factor),
         )
 
+    def __getitem__(self, i: int):
+        if self._pool is None:
+            return self._load(i)
+        # schedule lookahead window, collect this frame
+        for j in range(i, min(i + 1 + self.lookahead, len(self))):
+            if j not in self._futures:
+                self._futures[j] = self._pool.submit(self._load, j)
+        fut = self._futures.pop(i, None)
+        if fut is None:
+            return self._load(i)
+        return fut.result()
+
     def __iter__(self):
         for i in range(len(self)):
             yield self[i]
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)

@@ -210,9 +210,49 @@ def correct_map(m: ms.MapState, T_new: jnp.ndarray) -> ms.MapState:
     return m._replace(kf_T_cw=T_new, lm_pos=lm_pos)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _reloc_verify(
+    db: DatabaseState, m: ms.MapState, cand: jnp.ndarray,
+    frame_desc: jnp.ndarray, frame_valid: jnp.ndarray,
+    frame_words: jnp.ndarray, frame_p3d: jnp.ndarray,
+    frame_has_depth: jnp.ndarray, key: jnp.ndarray, cfg: SystemConfig,
+):
+    """BoW-guided match + 3D-3D RANSAC of a lost frame against candidate
+    keyframe `cand`.  Returns (T_cw for the frame, n_inliers, ok)."""
+    cam = cfg.camera
+    d = masked_distance_matrix(
+        m.kf_desc[cand], m.kf_kp_valid[cand], frame_desc, frame_valid
+    )
+    same_word = db.kf_words[cand][:, None] == frame_words[None, :]
+    d = jnp.where(same_word, d, INVALID_DIST)
+    neg, idx = jax.lax.top_k(-d, 2)
+    d1, i1, d2 = -neg[:, 0], idx[:, 0], -neg[:, 1]
+    ok_m = (d1 <= cfg.matcher.th_low) & (d1 < cfg.matcher.ratio_bow * d2)
+    mm = matching.Matches(
+        target_idx=jnp.where(ok_m, i1, -1), distance=d1, valid=ok_m
+    )
+    mm = matching.resolve_duplicates(mm, frame_desc.shape[0])
+
+    p_kf = camera.unproject(cam, m.kf_xy[cand], m.kf_z[cand])
+    tgt = jnp.maximum(mm.target_idx, 0)
+    pair_valid = mm.valid & (m.kf_z[cand] > 0) & frame_has_depth[tgt]
+    res = ransac.ransac_align(
+        p_kf, frame_p3d[tgt], pair_valid, key, cfg.ransac, cam
+    )
+    # T12 maps kf-cam -> frame-cam; frame pose = T12 * T_cw[kf]
+    T_cw = res.T12 @ m.kf_T_cw[cand]
+    return T_cw, res.n_inliers, res.ok
+
+
 class LoopClosing:
     """Host orchestration: vocabulary lifecycle, detection cadence,
-    correction triggering."""
+    correction triggering, and relocalization service.
+
+    Relocalization is capability the reference *declares* (tracking LOST
+    state, tracking.h:37) but never implements (SURVEY.md §5: nothing sets
+    or handles LOST).  Here a lost frame queries the same BoW database and
+    re-acquires its pose via BoW-guided matching + 3D-3D RANSAC against
+    the best candidate keyframes."""
 
     def __init__(self, cfg: SystemConfig, train_after_kfs: int = 4):
         self.cfg = cfg
@@ -274,3 +314,27 @@ class LoopClosing:
         self.last_loop_kf_id = kf_id
         self.loops.append((slot, cand_i))
         return m
+
+    def relocalize(self, m: ms.MapState, frame, n_candidates: int = 3):
+        """Re-acquire the pose of a lost frame against the keyframe
+        database.  Returns T_cw [4,4] ndarray or None."""
+        if self.vocab is None:
+            return None
+        words = bow.transform(self.vocab, frame.feat.desc)
+        vec = bow.bow_vector(self.vocab, words, frame.feat.valid)
+        scores = np.asarray(bow.l1_scores(vec, self.db.kf_bow))
+        scores = np.where(np.asarray(self.db.kf_in_db & m.kf_valid),
+                          scores, -1.0)
+        order = np.argsort(-scores)[:n_candidates]
+        for cand in order:
+            if scores[cand] < self.cfg.loop.min_score:
+                break
+            self.key, sub = jax.random.split(self.key)
+            T_cw, n_inl, ok = _reloc_verify(
+                self.db, m, jnp.int32(int(cand)),
+                frame.feat.desc, frame.feat.valid, words,
+                frame.p3d, frame.has_depth, sub, self.cfg,
+            )
+            if bool(ok):
+                return np.asarray(T_cw)
+        return None

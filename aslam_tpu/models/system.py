@@ -28,6 +28,7 @@ class SlamSystem:
             from aslam_tpu.models.loopclosing import LoopClosing
 
             self.loop_closing = LoopClosing(self.cfg)
+            self.tracking.relocalizer = self.loop_closing
 
     def process(self, img: np.ndarray, depth: np.ndarray, t: float = 0.0):
         T, info = self.tracking.track(img, depth, t)

@@ -147,6 +147,39 @@ def update_lm_stats(m: ms.MapState, visible_mask, found_mask) -> ms.MapState:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("m",))
+def track_step(
+    m: ms.MapState,
+    last_frame: frame_mod.FrameData,
+    last_assoc: jnp.ndarray,
+    frame: frame_mod.FrameData,
+    last_kf_T: jnp.ndarray,
+    key: jnp.ndarray,
+    cfg: SystemConfig,
+):
+    """The fused per-frame device program: frame-to-frame odometry +
+    association carry + local-map tracking + landmark stats + keyframe
+    trigger summary.  One dispatch, one host pull of a 6-scalar vector —
+    the relay round-trip cost of four separate calls collapses to one.
+
+    Returns (map', pose T_cw, assoc, stats[6] =
+    [n_tracked, n_matches, ransac_inliers, kf_dist, kf_rot, rmse]).
+    """
+    odo = rba_step(last_frame, frame, key, cfg)
+    frame = frame_mod.with_pose(frame, odo.T_cw2)
+    assoc = carry_associations(last_assoc, odo.match_idx, odo.inliers)
+    lm_res = track_local_map(m, frame, assoc, cfg)
+    m = update_lm_stats(m, lm_res.visible_mask, lm_res.found_mask)
+    dt, dr = pose_distance(last_kf_T, lm_res.T_cw)
+    stats = jnp.stack([
+        lm_res.n_tracked.astype(jnp.float32),
+        odo.n_matches.astype(jnp.float32),
+        odo.n_inliers.astype(jnp.float32),
+        dt, dr, odo.rmse,
+    ])
+    return m, lm_res.T_cw, lm_res.assoc, stats
+
+
 class Tracking:
     """Host-side orchestration of the per-frame pipeline."""
 
@@ -161,6 +194,7 @@ class Tracking:
         self.kf_counter = 0
         self.last_frame: frame_mod.FrameData | None = None
         self.last_assoc: jnp.ndarray | None = None
+        self.relocalizer = None  # set by SlamSystem when loop closing is on
         self.last_kf_T: np.ndarray | None = None
         self.poses: list[np.ndarray] = []
         self.timestamps: list[float] = []
@@ -203,33 +237,60 @@ class Tracking:
         else:
             self.key, sub = jax.random.split(self.key)
             if cfg.use_gicp:
-                # ADAPTIVE_RICP policy (odometry.cpp:46-78)
+                # ADAPTIVE_RICP policy (odometry.cpp:46-78): the escalation
+                # branch needs scalar reads, so this path keeps separate
+                # dispatches
                 from aslam_tpu.models.odometry import ricp_step
 
                 odo = ricp_step(self.last_frame, frame, sub, cfg)
+                frame = frame_mod.with_pose(frame, odo.T_cw2)
+                assoc = carry_associations(self.last_assoc, odo.match_idx,
+                                           odo.inliers)
+                lm_res = track_local_map(self.map, frame, assoc, cfg)
+                frame = frame_mod.with_pose(frame, lm_res.T_cw)
+                assoc = lm_res.assoc
+                self.map = update_lm_stats(self.map, lm_res.visible_mask,
+                                           lm_res.found_mask)
+                dt_j, dr_j = pose_distance(jnp.asarray(self.last_kf_T),
+                                           frame.T_cw)
+                stats = np.asarray([
+                    int(lm_res.n_tracked), int(odo.n_matches),
+                    int(odo.n_inliers), float(dt_j), float(dr_j),
+                    float(odo.rmse),
+                ])
             else:
-                odo = rba_step(self.last_frame, frame, sub, cfg)
-            frame = frame_mod.with_pose(frame, odo.T_cw2)
-            assoc = carry_associations(self.last_assoc, odo.match_idx,
-                                       odo.inliers)
-            lm_res = track_local_map(self.map, frame, assoc, cfg)
-            frame = frame_mod.with_pose(frame, lm_res.T_cw)
-            assoc = lm_res.assoc
-            self.map = update_lm_stats(self.map, lm_res.visible_mask,
-                                       lm_res.found_mask)
+                self.map, T_cw, assoc, stats_j = track_step(
+                    self.map, self.last_frame, self.last_assoc, frame,
+                    jnp.asarray(self.last_kf_T), sub, cfg,
+                )
+                stats = np.asarray(stats_j)  # the one per-frame sync
+                frame = frame_mod.with_pose(frame, T_cw)
 
-            n_tracked = int(lm_res.n_tracked)
+            n_tracked = int(stats[0])
             info.update(
                 n_tracked=n_tracked,
-                n_matches=int(odo.n_matches),
-                ransac_inliers=int(odo.n_inliers),
+                n_matches=int(stats[1]),
+                ransac_inliers=int(stats[2]),
             )
 
+            # LOST handling + relocalization (the reference declares the
+            # LOST state but never sets or recovers it, SURVEY.md §5)
+            if n_tracked < cfg.tracking.min_matches_tracked:
+                self.state = "LOST"
+                if self.relocalizer is not None:
+                    T_reloc = self.relocalizer.relocalize(self.map, frame)
+                    if T_reloc is not None:
+                        frame = frame_mod.with_pose(frame, jnp.asarray(T_reloc))
+                        assoc = jnp.full_like(assoc, -1)
+                        self.state = "OK"
+                        info["relocalized"] = True
+            else:
+                self.state = "OK"
+
             # keyframe decision (tracking.cpp:449-476)
-            dt, dr = pose_distance(jnp.asarray(self.last_kf_T), frame.T_cw)
             need = (
-                float(dt) > cfg.tracking.kf_min_trans
-                or float(dr) > cfg.tracking.kf_min_rot
+                stats[3] > cfg.tracking.kf_min_trans
+                or stats[4] > cfg.tracking.kf_min_rot
             )
             if need and self.n_kfs < cfg.map.max_keyframes:
                 assoc = self._insert_keyframe(

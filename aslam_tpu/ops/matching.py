@@ -48,9 +48,18 @@ def knn_ratio_match(
     ratio: float,
     max_dist: float = 256.0,
 ) -> Matches:
-    """Lowe-ratio 2-NN matching, query rows -> target columns."""
-    d = masked_distance_matrix(desc_q, valid_q, desc_t, valid_t)
-    d1, i1, d2, _ = _top2(d)
+    """Lowe-ratio 2-NN matching, query rows -> target columns.
+
+    On TPU the distance+top-2 runs as a fused Pallas kernel (VMEM-resident
+    tiles, no [Q,T] matrix in HBM); elsewhere the XLA matmul path."""
+    from aslam_tpu.ops import pallas_kernels
+
+    if pallas_kernels.use_pallas():
+        d1, i1, d2 = pallas_kernels.hamming_top2(
+            desc_q, valid_q, desc_t, valid_t)
+    else:
+        d = masked_distance_matrix(desc_q, valid_q, desc_t, valid_t)
+        d1, i1, d2, _ = _top2(d)
     ok = valid_q & (d1 <= max_dist) & (d1 < ratio * d2) & (d1 < INVALID_DIST)
     return Matches(
         target_idx=jnp.where(ok, i1, -1),

@@ -31,6 +31,8 @@ class SlamSystem:
             self.tracking.relocalizer = self.loop_closing
 
     def process(self, img: np.ndarray, depth: np.ndarray, t: float = 0.0):
+        if self.tracking.state == "NEW_SEQUENCE":
+            return self._anchor_new_sequence(img, depth, t)
         T, info = self.tracking.track(img, depth, t)
         if info.get("new_kf"):
             slot = self.tracking.new_kf_slots[-1]
@@ -43,6 +45,48 @@ class SlamSystem:
                     self.tracking.map, slot, kf_id
                 )
         return T, info
+
+    def new_sequence(self) -> None:
+        """Start a new input sequence into the SAME map (multi-sequence
+        mapping, BASELINE config 5).  Tracking state resets; the first
+        frame of the new sequence is anchored by relocalization against
+        the existing map (if loop closing / vocabulary is available),
+        otherwise it continues from the last pose."""
+        t = self.tracking
+        t.last_frame = None
+        t.last_assoc = None
+        t.state = "NEW_SEQUENCE"
+
+    def _anchor_new_sequence(self, img, depth, t_stamp):
+        import jax.numpy as jnp
+
+        from aslam_tpu.models import frame as frame_mod
+
+        tr = self.tracking
+        frame, tr.adaptive = frame_mod.make_frame(
+            np.asarray(img, np.float32), np.asarray(depth, np.float32),
+            self.cfg, tr.adaptive)
+        T0 = None
+        if self.loop_closing is not None:
+            T0 = self.loop_closing.relocalize(tr.map, frame)
+        if T0 is None:
+            T0 = tr.last_kf_T if tr.last_kf_T is not None else np.eye(4)
+        frame = frame_mod.with_pose(frame, jnp.asarray(T0))
+        # bootstrap landmark bindings from the existing map so tracking
+        # has a covisibility seed (no prior associations exist yet)
+        from aslam_tpu.models.tracking import bootstrap_track
+
+        T_b, assoc, n_b = bootstrap_track(tr.map, frame, self.cfg)
+        if int(n_b) >= 10:
+            frame = frame_mod.with_pose(frame, T_b)
+        tr.last_frame = frame
+        tr.last_assoc = assoc
+        tr.state = "OK"
+        tr.poses.append(np.asarray(frame.T_cw))
+        tr.timestamps.append(t_stamp)
+        tr.stats.append({"new_sequence": True})
+        return np.asarray(frame.T_cw), {"new_sequence": True,
+                                        "relocalized": T0 is not None}
 
     # -- exports (main.cpp:124-126) -----------------------------------
     def save_trajectory(self, path: str) -> None:

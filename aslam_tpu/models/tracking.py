@@ -139,6 +139,54 @@ def track_local_map(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def bootstrap_track(
+    m: ms.MapState,
+    frame: frame_mod.FrameData,
+    cfg: SystemConfig,
+):
+    """Acquire landmark bindings with NO prior associations (sequence
+    start after relocalization / multi-sequence anchoring): local map =
+    pose-nearest keyframes, then a wide projection search + pose BA.
+    Returns (T_cw, assoc, n_tracked)."""
+    cam = cfg.camera
+    K = m.kf_valid.shape[0]
+    # nearest keyframes by camera-center distance
+    d_t, _ = pose_distance(m.kf_T_cw, frame.T_cw)
+    rank = jnp.where(m.kf_valid, -d_t, -jnp.inf)
+    k_cap = min(10, K)
+    top_vals, top_idx = jax.lax.top_k(rank, k_cap)
+    local_kf = jnp.zeros((K,), bool).at[top_idx].set(top_vals > -jnp.inf)
+
+    A = ms.incidence(m)
+    search_lm = jnp.any(A & local_kf[:, None], axis=0) & m.lm_valid
+    vis, pred_uv, _, _ = camera.in_frustum(cam, frame.T_cw, m.lm_pos)
+    cand = search_lm & vis
+    M = frame.xy_und.shape[0]
+    pm = matching.projection_match(
+        m.lm_desc, cand, pred_uv,
+        frame.xy_und, frame.feat.desc, frame.feat.valid,
+        frame.feat.octave, jnp.ones((M,), bool),
+        radius=2.0 * cfg.matcher.proj_radius,   # wide: pose is approximate
+        th_high=float(cfg.matcher.th_high),
+        ratio=cfg.matcher.ratio_local,
+    )
+    L = m.lm_pos.shape[0]
+    new_tgt = jnp.where(pm.valid, pm.target_idx, M)
+    assoc = jnp.full((M + 1,), -1, jnp.int32).at[new_tgt].max(
+        jnp.where(pm.valid, jnp.arange(L, dtype=jnp.int32), -1)
+    )[:M]
+
+    lm_idx = jnp.where(assoc >= 0, assoc, 0)
+    obs_valid = (assoc >= 0) & m.lm_valid[lm_idx] & frame.feat.valid
+    res = ba.pose_only_ba(
+        frame.T_cw, m.lm_pos[lm_idx], frame.xy_und, frame.ur, frame.depth,
+        obs_valid, cam, cfg.ba,
+    )
+    assoc = jnp.where(obs_valid & res.inliers, assoc, -1)
+    return res.T_cw, assoc, jnp.sum((assoc >= 0).astype(jnp.int32))
+
+
 @functools.partial(jax.jit, donate_argnames=("m",))
 def update_lm_stats(m: ms.MapState, visible_mask, found_mask) -> ms.MapState:
     return m._replace(

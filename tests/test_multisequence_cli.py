@@ -1,0 +1,102 @@
+"""Multi-sequence mapping + CLI driver end-to-end."""
+
+import os
+
+import numpy as np
+import pytest
+
+from aslam_tpu.config import small_config
+from aslam_tpu.models.system import SlamSystem
+from aslam_tpu.utils import synthetic
+
+
+def make_clip(cfg, rng, pts, tex, n_frames, start_pose=None):
+    poses = synthetic.camera_trajectory(n_frames, step_t=0.04, step_r=0.015,
+                                       rng=rng)
+    if start_pose is not None:
+        poses = np.stack([p @ start_pose for p in poses])
+    imgs = np.stack([
+        synthetic.render_intensity_image(cfg.camera, T, pts, tex)
+        for T in poses
+    ])
+    depths = np.stack([
+        synthetic.render_depth_image(cfg.camera, T, pts, splat=4)
+        for T in poses
+    ])
+    return imgs, depths, poses
+
+
+def test_multi_sequence_shared_map():
+    cfg = small_config().replace(use_loop_closing=True)
+    rng = np.random.default_rng(8)
+    pts = synthetic.random_scene(rng, 500)
+    tex = synthetic.point_textures(500, seed=9)
+
+    slam = SlamSystem(cfg)
+    imgs, depths, _ = make_clip(cfg, rng, pts, tex, 8)
+    for i in range(8):
+        slam.process(imgs[i], depths[i], t=i * 0.033)
+    kfs_seq1 = slam.tracking.n_kfs
+    assert kfs_seq1 >= 2
+
+    # second sequence over the SAME scene
+    slam.new_sequence()
+    imgs2, depths2, _ = make_clip(cfg, rng, pts, tex, 5)
+    for i in range(5):
+        T, info = slam.process(imgs2[i], depths2[i], t=1000 + i * 0.033)
+    # map persisted and kept growing or reused
+    assert slam.tracking.n_kfs >= kfs_seq1
+    assert len(slam.tracking.poses) == 13
+    # tracking healthy in the second sequence
+    tracked = [s.get("n_tracked", 0) for s in slam.tracking.stats[-4:]]
+    assert max(tracked) > 20, tracked
+
+
+def _have_pil():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _have_pil(), reason="needs PIL to write PNGs")
+def test_cli_main_runs(tmp_path, rng):
+    """python -m aslam_tpu.main over a fabricated mini TUM sequence."""
+    from PIL import Image
+
+    from aslam_tpu import main as cli
+
+    cfg = small_config()
+    pts = synthetic.random_scene(rng, 400)
+    tex = synthetic.point_textures(400, seed=3)
+    poses = synthetic.camera_trajectory(4, rng=rng)
+
+    (tmp_path / "rgb").mkdir()
+    (tmp_path / "depth").mkdir()
+    lines = []
+    for i, T in enumerate(poses):
+        t = 100.0 + i * 0.033
+        img = synthetic.render_intensity_image(cfg.camera, T, pts, tex)
+        dep = synthetic.render_depth_image(cfg.camera, T, pts, splat=4)
+        Image.fromarray(img.astype(np.uint8)).save(
+            tmp_path / "rgb" / f"{t:.6f}.png")
+        Image.fromarray((dep / cfg.camera.depth_factor).astype(np.uint16)).save(
+            tmp_path / "depth" / f"{t:.6f}.png")
+        lines.append(f"{t:.6f} rgb/{t:.6f}.png {t:.6f} depth/{t:.6f}.png")
+    (tmp_path / "associations.txt").write_text("\n".join(lines) + "\n")
+
+    out_dir = tmp_path / "out"
+    # patch small camera through: use fr1 preset dims? our synthetic is
+    # 320x240 with the small camera — register it for the CLI
+    cli.CAMERAS["test"] = cfg.camera
+    cli.main([
+        "--dataset", str(tmp_path), "--camera", "test", "--mode", "vo",
+        "--out-dir", str(out_dir), "--max-frames", "4",
+    ])
+    traj = out_dir / "CameraTrajectory.txt"
+    assert traj.exists()
+    data = np.loadtxt(str(traj))
+    assert data.shape == (4, 8)
+    assert (out_dir / "metrics.json").exists()

@@ -52,6 +52,10 @@ def main(argv=None):
     ap.add_argument("--camera", choices=sorted(CAMERAS), default="fr1")
     ap.add_argument("--mode", choices=["vo", "slam", "slam+loop", "slam+gicp"],
                     default="slam")
+    ap.add_argument("--engine", choices=["host", "device"], default="host",
+                    help="host: step-by-step Tracking (readable reference); "
+                         "device: fused slam_step with zero per-frame host "
+                         "sync (production path for tunneled TPUs)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--checkpoint", default="",
@@ -84,6 +88,23 @@ def main(argv=None):
 
         save_tum_trajectory(os.path.join(args.out_dir, "CameraTrajectory.txt"),
                             np.asarray(timestamps), np.stack(poses))
+    elif args.engine == "device":
+        from aslam_tpu.models.device_slam import DeviceSlam
+        from aslam_tpu.utils.trajectory import save_tum_trajectory
+
+        slam = DeviceSlam(cfg)
+        t0 = time.time()
+        for i in range(n):
+            t, img, depth = seq[i]
+            with metrics.timer("track"):
+                slam.process(img, depth, t)
+            metrics.count("frames")
+        traj, stats = slam.finish()
+        save_tum_trajectory(
+            os.path.join(args.out_dir, "CameraTrajectory.txt"),
+            np.asarray(slam.timestamps), traj)
+        print(f"{n} frames, {int(slam.state.n_kfs)} keyframes, "
+              f"{(time.time() - t0) / max(n, 1) * 1e3:.1f} ms/frame")
     else:
         from aslam_tpu.models.system import SlamSystem
         from aslam_tpu.utils import checkpoint as ckpt

@@ -105,6 +105,20 @@ class SlamSystem:
             path, ids[order].astype(np.float64), poses[order]
         )
 
+    def save_observation_histogram(self, path: str) -> None:
+        """Histogram of per-landmark observation counts
+        (SaveObservationHistogram, tracking.cpp:609-631 writes
+        Histogram.csv)."""
+        from aslam_tpu.models import mapstate as ms
+
+        obs = np.asarray(ms.observation_counts(self.tracking.map))
+        valid = np.asarray(self.tracking.map.lm_valid)
+        counts = np.bincount(obs[valid], minlength=1)
+        with open(path, "w") as f:
+            f.write("n_observations,n_landmarks\n")
+            for n, c in enumerate(counts):
+                f.write(f"{n},{int(c)}\n")
+
     @property
     def map(self):
         return self.tracking.map

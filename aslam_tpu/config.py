@@ -26,7 +26,6 @@ Behavioral constants preserved from the reference (SURVEY.md §7.4):
 from __future__ import annotations
 
 import dataclasses
-import math
 from dataclasses import dataclass
 
 

@@ -254,10 +254,13 @@ class LoopClosing:
     re-acquires its pose via BoW-guided matching + 3D-3D RANSAC against
     the best candidate keyframes."""
 
-    def __init__(self, cfg: SystemConfig, train_after_kfs: int = 4):
+    def __init__(self, cfg: SystemConfig, train_after_kfs: int = 4,
+                 vocab_path: str = ""):
         self.cfg = cfg
         self.db = init_database(cfg)
         self.vocab: bow.Vocabulary | None = None
+        if vocab_path:
+            self.vocab = bow.load_vocabulary(vocab_path)
         self.train_after = train_after_kfs
         self.last_loop_kf_id = -(10**9)
         self.key = jax.random.PRNGKey(123)

@@ -116,6 +116,26 @@ def train_vocabulary(
     return Vocabulary(level_cents=tuple(levels), idf=jnp.asarray(idf))
 
 
+def save_vocabulary(path: str, vocab: Vocabulary) -> None:
+    """Persist the trained vocabulary (the reference ships a ~100 MB DBoW3
+    .yml.gz artifact; ours is a small npz)."""
+    arrays = {f"level_{i}": np.asarray(c) for i, c in enumerate(vocab.level_cents)}
+    arrays["idf"] = np.asarray(vocab.idf)
+    np.savez_compressed(path, **arrays)
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path)
+    levels = []
+    i = 0
+    while f"level_{i}" in data:
+        levels.append(jnp.asarray(data[f"level_{i}"]))
+        i += 1
+    return Vocabulary(level_cents=tuple(levels), idf=jnp.asarray(data["idf"]))
+
+
 # ----------------------------------------------------------------- device ops
 
 def _ham_rows(desc: jnp.ndarray, cents: jnp.ndarray) -> jnp.ndarray:

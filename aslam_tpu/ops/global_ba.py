@@ -129,3 +129,82 @@ def global_ba(m: MapState, cam: CameraModel, cfg: BAConfig,
     for i in range(iters):
         m, stats = ba_sweep(m, cam, cfg, robust=(i < robust_iters))
     return m, stats
+
+
+# ------------------------------------------------------------------ chunked
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "cfg", "robust", "kf_chunk")
+)
+def ba_sweep_chunked(m: MapState, cam: CameraModel, cfg: BAConfig,
+                     robust: bool = True, lam: float = 1e-4,
+                     kf_chunk: int = 256):
+    """Memory-bounded sweep for 10k+-keyframe maps (BASELINE config 5).
+
+    The dense sweep materializes [K, M, 3, 6] Jacobian blocks (~0.8 GB at
+    10k x 1k); this variant streams KF rows in chunks of `kf_chunk`
+    through a fori_loop, keeping peak extra memory at
+    O(kf_chunk * M * 18) while accumulating the landmark normal equations
+    across chunks.  Bitwise-equivalent math to ba_sweep.
+    """
+    K, M = m.kf_lm.shape
+    L = m.lm_pos.shape[0]
+    assert K % kf_chunk == 0, f"K={K} must divide by kf_chunk={kf_chunk}"
+    n_chunks = K // kf_chunk
+    oldest = jnp.argmax(jnp.where(m.kf_valid, -m.kf_id, -(2**30)))
+
+    def chunk_view(c):
+        s = c * kf_chunk
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s, kf_chunk)  # noqa: E731
+        return m._replace(
+            kf_T_cw=sl(m.kf_T_cw), kf_valid=sl(m.kf_valid),
+            kf_id=sl(m.kf_id), kf_xy=sl(m.kf_xy), kf_ur=sl(m.kf_ur),
+            kf_z=sl(m.kf_z), kf_desc=sl(m.kf_desc),
+            kf_octave=sl(m.kf_octave), kf_kp_valid=sl(m.kf_kp_valid),
+            kf_lm=sl(m.kf_lm),
+        )
+
+    # ---- pose sweep, chunked ----
+    def pose_body(c, kf_T_new):
+        mc = chunk_view(c)
+        r, Jc, _, w, _, _, _ = _edge_terms(mc, cam, cfg, robust)
+        H = jnp.einsum("km,kmri,kmrj->kij", w, Jc, Jc)
+        b = jnp.einsum("km,kmri,kmr->ki", w, Jc, r)
+        H = H + lam * jnp.eye(6) * jnp.maximum(
+            jnp.trace(H, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6
+        ) + 1e-8 * jnp.eye(6)
+        dx = -jnp.linalg.solve(H, b[..., None])[..., 0]
+        rows = c * kf_chunk + jnp.arange(kf_chunk)
+        freeze = (rows == oldest) | ~mc.kf_valid
+        dx = jnp.where(jnp.isfinite(dx) & ~freeze[:, None], dx, 0.0)
+        upd = jax.vmap(se3_exp)(dx) @ mc.kf_T_cw
+        return jax.lax.dynamic_update_slice_in_dim(
+            kf_T_new, upd, c * kf_chunk, axis=0)
+
+    kf_T = jax.lax.fori_loop(0, n_chunks, pose_body, m.kf_T_cw)
+    m = m._replace(kf_T_cw=kf_T)
+
+    # ---- point sweep, accumulated over chunks ----
+    def point_body(c, acc):
+        Hll, bl, chi2_sum, n_act = acc
+        mc = chunk_view(c)
+        r, _, Jp, w, chi2, active, lm = _edge_terms(mc, cam, cfg, robust)
+        wJp = w[..., None, None] * Jp
+        Hll = Hll.at[lm].add(jnp.einsum("kmri,kmrj->kmij", wJp, Jp))
+        bl = bl.at[lm].add(jnp.einsum("kmri,kmr->kmi", wJp, r))
+        chi2_sum = chi2_sum + jnp.sum(jnp.where(active, chi2, 0.0))
+        n_act = n_act + jnp.sum(active.astype(jnp.int32))
+        return Hll, bl, chi2_sum, n_act
+
+    Hll, bl, chi2_sum, n_act = jax.lax.fori_loop(
+        0, n_chunks, point_body,
+        (jnp.zeros((L, 3, 3)), jnp.zeros((L, 3)), jnp.float32(0),
+         jnp.int32(0)),
+    )
+    Hll = Hll + lam * jnp.eye(3) * jnp.maximum(
+        jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
+    ) + 1e-8 * jnp.eye(3)
+    dxl = -jnp.linalg.solve(Hll, bl[..., None])[..., 0]
+    dxl = jnp.where(m.lm_valid[:, None] & jnp.isfinite(dxl), dxl, 0.0)
+    m = m._replace(lm_pos=m.lm_pos + dxl)
+    return m, GlobalBAStats(chi2=chi2_sum, n_edges=n_act)

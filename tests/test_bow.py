@@ -87,3 +87,15 @@ def test_shared_word_counts(rng):
         words_q, jnp.ones(64, bool), jnp.asarray(hist)))
     assert out[0] == len(np.unique(wq))
     assert out[1] == 0
+
+
+def test_vocabulary_save_load(tmp_path, rng):
+    descs = random_desc(rng, 400)
+    v = bow.train_vocabulary(descs, branching=4, depth=2)
+    path = str(tmp_path / "vocab.npz")
+    bow.save_vocabulary(path, v)
+    v2 = bow.load_vocabulary(path)
+    assert v2.branching == v.branching and v2.depth == v.depth
+    w1 = np.asarray(bow.transform(v, jnp.asarray(descs[:64])))
+    w2 = np.asarray(bow.transform(v2, jnp.asarray(descs[:64])))
+    np.testing.assert_array_equal(w1, w2)

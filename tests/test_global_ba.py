@@ -90,3 +90,17 @@ def test_global_ba_chi2_monotone_overall(rng):
     out, s_final = global_ba.global_ba(m, cfg.camera, cfg.ba, iters=15,
                                        robust_iters=5)
     assert float(s_final.chi2) < float(s0.chi2)
+
+
+def test_chunked_sweep_matches_dense(rng):
+    cfg, m, T_true, pts_true, n_kfs, n_pts = build_noisy_map(rng)
+    dense, s1 = global_ba.ba_sweep(m, cfg.camera, cfg.ba, robust=True)
+    K = m.kf_T_cw.shape[0]
+    chunked, s2 = global_ba.ba_sweep_chunked(m, cfg.camera, cfg.ba,
+                                             robust=True, kf_chunk=K // 4)
+    np.testing.assert_allclose(np.asarray(chunked.kf_T_cw),
+                               np.asarray(dense.kf_T_cw), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(chunked.lm_pos),
+                               np.asarray(dense.lm_pos), atol=1e-5)
+    assert int(s1.n_edges) == int(s2.n_edges)
+    assert np.isclose(float(s1.chi2), float(s2.chi2), rtol=1e-4)

@@ -26,6 +26,17 @@ Layer map (mirrors SURVEY.md §1, re-architected):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry code multiplies pose matrices with world coordinates that can
+# reach hundreds of meters; TPU's default matmul precision computes f32
+# matmuls through bf16 passes (~2^-8 relative), which injects meter-scale
+# pose error at map scale (observed: global BA divergence on a 500 m
+# corridor).  Force full f32 for f32 matmuls engine-wide; performance-
+# critical low-precision paths (MXU Hamming matching) feed explicit bf16
+# inputs and are unaffected.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from aslam_tpu.config import (  # noqa: F401
     CameraModel,
     ExtractorConfig,

@@ -101,13 +101,19 @@ def main():
         log(f"pass {rep}: {n_timed} frames in {dt:.3f}s -> {fps:.1f} fps")
         best_fps = max(best_fps, fps)
     fps = best_fps
-    # trajectory export: one batched readback (measures the tunnel link,
-    # not the engine — logged separately)
-    t0 = time.time()
-    traj = np.stack(jax.device_get(pose_buf))
-    log(f"trajectory export ({len(traj)} poses): {time.time() - t0:.3f}s; "
-        f"finite={np.isfinite(traj).all()}")
-    log(f"last frame: inliers={int(res.n_inliers)} matches={int(res.n_matches)}")
+    # trajectory export: batched readback (measures the tunnel link, not
+    # the engine — logged separately, and fault-tolerant: the relay's d2h
+    # path occasionally aborts, which must not kill the benchmark)
+    try:
+        t0 = time.time()
+        last_pose = jax.device_get(pose_buf[-1])
+        log(f"last pose read: {time.time() - t0:.3f}s "
+            f"finite={np.isfinite(last_pose).all()} "
+            f"|t|={np.linalg.norm(last_pose[:3, 3]):.3f} m")
+        log(f"last frame: inliers={int(res.n_inliers)} "
+            f"matches={int(res.n_matches)}")
+    except Exception as e:  # relay d2h abort — metric already measured
+        log(f"trajectory export failed (relay d2h): {e}")
 
     print(json.dumps({
         "metric": "tracking_fps_per_chip",

@@ -101,26 +101,33 @@ def main():
         log(f"pass {rep}: {n_timed} frames in {dt:.3f}s -> {fps:.1f} fps")
         best_fps = max(best_fps, fps)
     fps = best_fps
-    # trajectory export: batched readback (measures the tunnel link, not
-    # the engine — logged separately, and fault-tolerant: the relay's d2h
-    # path occasionally aborts, which must not kill the benchmark)
-    try:
-        t0 = time.time()
-        last_pose = jax.device_get(pose_buf[-1])
-        log(f"last pose read: {time.time() - t0:.3f}s "
-            f"finite={np.isfinite(last_pose).all()} "
-            f"|t|={np.linalg.norm(last_pose[:3, 3]):.3f} m")
-        log(f"last frame: inliers={int(res.n_inliers)} "
-            f"matches={int(res.n_matches)}")
-    except Exception as e:  # relay d2h abort — metric already measured
-        log(f"trajectory export failed (relay d2h): {e}")
-
+    # the metric line goes out FIRST: the relay's device-to-host read path
+    # can hang or abort for minutes, and the benchmark result must not be
+    # hostage to it (the timed passes used completion barriers only)
     print(json.dumps({
         "metric": "tracking_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_FPS, 3),
-    }))
+    }), flush=True)
+
+    # best-effort sanity readback with a watchdog
+    import threading
+
+    def _read():
+        try:
+            last_pose = jax.device_get(pose_buf[-1])
+            log(f"last pose finite={np.isfinite(last_pose).all()} "
+                f"|t|={np.linalg.norm(last_pose[:3, 3]):.3f} m "
+                f"inliers={int(res.n_inliers)} matches={int(res.n_matches)}")
+        except Exception as e:
+            log(f"sanity readback failed (relay d2h): {e}")
+
+    t = threading.Thread(target=_read, daemon=True)
+    t.start()
+    t.join(timeout=60.0)
+    if t.is_alive():
+        log("sanity readback timed out (relay d2h hang) — metric unaffected")
 
 
 if __name__ == "__main__":

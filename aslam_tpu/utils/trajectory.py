@@ -57,6 +57,31 @@ def ate_rmse(est_positions: np.ndarray, gt_positions: np.ndarray, align: bool = 
     return float(np.sqrt(np.mean(np.sum(err * err, axis=1))))
 
 
+def ate_rmse_device(est_cw, gt_cw):
+    """ATE RMSE computed ON DEVICE (jnp): rigid Umeyama alignment of the
+    camera centers + RMSE, returning one scalar.  Lets accuracy be
+    validated on TPU deployments where bulk device-to-host reads are
+    expensive (only the scalar crosses the link)."""
+    import jax.numpy as jnp
+
+    from aslam_tpu.utils import se3 as se3j
+
+    est_centers = se3j.T_inv(est_cw)[..., :3, 3]
+    gt_centers = se3j.T_inv(gt_cw)[..., :3, 3]
+    mu_e = jnp.mean(est_centers, axis=0)
+    mu_g = jnp.mean(gt_centers, axis=0)
+    H = (est_centers - mu_e).T @ (gt_centers - mu_g) / est_centers.shape[0]
+    U, _, Vt = jnp.linalg.svd(H)
+    D = jnp.eye(3).at[2, 2].set(
+        jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    )
+    R = Vt.T @ D @ U.T
+    t = mu_g - R @ mu_e
+    aligned = est_centers @ R.T + t
+    err = aligned - gt_centers
+    return jnp.sqrt(jnp.mean(jnp.sum(err * err, axis=1)))
+
+
 def rpe_rmse(est_cw: np.ndarray, gt_cw: np.ndarray, delta: int = 1):
     """Relative pose error RMSE (translation, rotation) over pose pairs."""
     est = np.asarray(est_cw, np.float64)

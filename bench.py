@@ -15,6 +15,7 @@ against a 33 ms frame budget).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -116,10 +117,16 @@ def main():
 
     def _read():
         try:
-            last_pose = jax.device_get(pose_buf[-1])
-            log(f"last pose finite={np.isfinite(last_pose).all()} "
-                f"|t|={np.linalg.norm(last_pose[:3, 3]):.3f} m "
-                f"inliers={int(res.n_inliers)} matches={int(res.n_matches)}")
+            from aslam_tpu.utils import trajectory
+
+            # accuracy: on-device ATE of pass 0 vs ground truth — only one
+            # scalar crosses the link
+            est = jnp.stack(pose_buf[: n_frames - 1])
+            gt = jnp.asarray(poses[1:n_frames])
+            ate = float(trajectory.ate_rmse_device(est, gt))
+            log(f"pass-0 ATE vs ground truth (on-device): {ate * 100:.2f} cm")
+            log(f"last frame: inliers={int(res.n_inliers)} "
+                f"matches={int(res.n_matches)}")
         except Exception as e:
             log(f"sanity readback failed (relay d2h): {e}")
 
@@ -128,6 +135,12 @@ def main():
     t.join(timeout=60.0)
     if t.is_alive():
         log("sanity readback timed out (relay d2h hang) — metric unaffected")
+        # a thread stuck inside the runtime breaks interpreter teardown
+        # ("FATAL: exception not rethrown"); exit hard with success — the
+        # metric line is already flushed
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
 
 
 if __name__ == "__main__":

@@ -44,3 +44,18 @@ def test_synthetic_sequence_shapes():
     assert pts.shape == (100, 3)
     # depth map should contain the scene depths where points project
     assert (depths > 0).sum() > 100
+
+
+def test_device_ate_matches_host(rng):
+    import jax.numpy as jnp
+
+    poses = synthetic.camera_trajectory(15, rng=rng)
+    # perturb a copy
+    noisy = poses.copy()
+    noisy[:, :3, 3] += rng.normal(0, 0.01, (15, 3)).astype(np.float32)
+    host = trajectory.ate_rmse(
+        np.stack([np.asarray(se3.T_inv(jnp.asarray(T)))[:3, 3] for T in noisy]),
+        np.stack([np.asarray(se3.T_inv(jnp.asarray(T)))[:3, 3] for T in poses]),
+    )
+    dev = float(trajectory.ate_rmse_device(jnp.asarray(noisy), jnp.asarray(poses)))
+    assert abs(host - dev) < 1e-4

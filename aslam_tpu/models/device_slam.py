@@ -61,7 +61,7 @@ def init_slam(cfg: SystemConfig, img: np.ndarray, depth: np.ndarray) -> SlamStat
     assoc = jnp.full((M,), -1, jnp.int32)
     m = ms.insert_keyframe(m, frame, assoc, jnp.int32(0), jnp.int32(0))
     m, assoc, n_created = ms.create_landmarks(
-        m, frame, assoc, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        m, frame, assoc, jnp.int32(0), jnp.int32(0),
         max_new=M, th_depth=float(cfg.camera.th_depth),
     )
     return SlamState(
@@ -108,11 +108,11 @@ def slam_step(
 
     def insert(args):
         m, assoc = args
-        slot = state.n_kfs
+        slot = jnp.argmin(m.kf_valid).astype(jnp.int32)  # first free row
         kf_id = state.kf_counter
         m = ms.insert_keyframe(m, frame, assoc, slot, kf_id)
         m, assoc, n_created = ms.create_landmarks(
-            m, frame, assoc, slot, kf_id, state.next_lm,
+            m, frame, assoc, slot, kf_id,
             max_new=cfg.tracking.max_vo_points,
             th_depth=float(cfg.camera.th_depth),
         )
@@ -157,7 +157,7 @@ class DeviceSlam:
         self.stats_buf: list = []
         self.timestamps: list[float] = []
         self.n_processed = 0
-        self.kfs_mapped = 1          # KF slots already through local mapping
+        self.last_mapped_id = 0      # kf_id high-water mark through mapping
         from aslam_tpu.models.localmapping import LocalMapping
 
         self.local_mapping = LocalMapping(cfg)
@@ -182,14 +182,22 @@ class DeviceSlam:
             self._background_mapping()
 
     def _background_mapping(self):
-        """The 'LocalMapping thread': refine newly inserted keyframes."""
-        n_kfs = int(self.state.n_kfs)          # one small d2h read
-        while self.kfs_mapped < n_kfs:
-            slot = self.kfs_mapped
+        """The 'LocalMapping thread': refine newly inserted keyframes.
+        One small d2h read of the id/validity rows per sync (slots are
+        reused after culling, so new KFs are found by kf_id)."""
+        kf_id = np.asarray(self.state.m.kf_id)
+        kf_valid = np.asarray(self.state.m.kf_valid)
+        n_live = int(kf_valid.sum())
+        fresh = np.nonzero(kf_valid & (kf_id > self.last_mapped_id))[0]
+        for slot in fresh[np.argsort(kf_id[fresh])]:
             m = self.local_mapping.process_keyframe(
-                self.state.m, slot, slot, n_kfs)
+                self.state.m, int(slot), int(kf_id[slot]), n_live)
             self.state = self.state._replace(m=m)
-            self.kfs_mapped += 1
+            self.last_mapped_id = max(self.last_mapped_id, int(kf_id[slot]))
+
+    @property
+    def kfs_mapped(self) -> int:
+        return self.last_mapped_id + 1
 
     def finish(self):
         """Flush mapping and pull the trajectory (one batched read)."""

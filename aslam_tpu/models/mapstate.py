@@ -148,13 +148,14 @@ def create_landmarks(
     lm_assoc: jnp.ndarray,   # [M] current landmark binding of the frame
     slot: jnp.ndarray,       # KF row the frame was inserted into
     kf_id: jnp.ndarray,
-    next_lm: jnp.ndarray,    # scalar int32 allocation cursor
     max_new: int,
     th_depth: float,
 ):
     """Spawn landmarks for up to `max_new` closest unbound keypoints with
     valid depth below th_depth (tracking.cpp:488-535: sorted by depth,
-    <=100 close points; at init all valid-depth points).
+    <=100 close points; at init all valid-depth points).  Slots are
+    allocated from FREE rows of the landmark table (rows vacated by
+    culling/fusion are reused — no monotonic-counter capacity leak).
 
     Returns (map, new_assoc [M], n_created scalar)."""
     M = lm_assoc.shape[0]
@@ -171,9 +172,12 @@ def create_landmarks(
     chosen = order  # feature index by rank
     is_new = take  # ranks actually used
 
-    # allocation: rank r -> landmark id next_lm + r (capacity-clamped)
-    new_ids = next_lm + jnp.arange(M, dtype=jnp.int32)
-    in_cap = new_ids < L
+    # allocation: rank r -> r-th free landmark row (stable: argsort of the
+    # validity mask lists invalid rows first, in index order)
+    free_order = jnp.argsort(m.lm_valid, stable=True).astype(jnp.int32)
+    n_free = L - jnp.sum(m.lm_valid.astype(jnp.int32))
+    new_ids = free_order[jnp.minimum(jnp.arange(M), L - 1)]
+    in_cap = jnp.arange(M) < n_free
     is_new = is_new & in_cap
     n_created = jnp.sum(is_new.astype(jnp.int32))
 
@@ -190,6 +194,11 @@ def create_landmarks(
         .at[tgt].set(True)[:L]
     lm_first = jnp.concatenate([m.lm_first_kf, jnp.zeros((1,), jnp.int32)]) \
         .at[tgt].set(kf_id)[:L]
+    # reused rows must not inherit the previous occupant's statistics
+    lm_visible = jnp.concatenate([m.lm_visible, jnp.zeros((1,), jnp.int32)]) \
+        .at[tgt].set(0)[:L]
+    lm_found = jnp.concatenate([m.lm_found, jnp.zeros((1,), jnp.int32)]) \
+        .at[tgt].set(0)[:L]
 
     # bind features: feature chosen[r] -> new_ids[r]
     feat_tgt = jnp.where(is_new, chosen, M)
@@ -198,7 +207,7 @@ def create_landmarks(
 
     m = m._replace(
         lm_pos=lm_pos, lm_desc=lm_desc, lm_valid=lm_valid,
-        lm_first_kf=lm_first,
+        lm_first_kf=lm_first, lm_visible=lm_visible, lm_found=lm_found,
         kf_lm=m.kf_lm.at[slot].set(assoc),
     )
     return m, assoc, n_created

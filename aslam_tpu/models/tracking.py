@@ -251,15 +251,17 @@ class Tracking:
 
     # -- keyframe insertion -------------------------------------------
     def _insert_keyframe(self, frame, assoc, max_new: int):
-        slot = jnp.int32(self.n_kfs)
+        # first free slot (reuses rows vacated by keyframe culling; the
+        # temporal/covisibility structure is keyed on kf_id, not the slot)
+        slot = jnp.argmin(self.map.kf_valid).astype(jnp.int32)
         kf_id = jnp.int32(self.kf_counter)
         self.map = ms.insert_keyframe(self.map, frame, assoc, slot, kf_id)
         self.map, assoc, n_created = ms.create_landmarks(
-            self.map, frame, assoc, slot, kf_id, jnp.int32(self.next_lm),
+            self.map, frame, assoc, slot, kf_id,
             max_new=max_new, th_depth=float(self.cfg.camera.th_depth),
         )
-        self.next_lm += int(n_created)
-        self.n_kfs += 1
+        self.next_lm = int(jnp.sum(self.map.lm_valid))  # live count
+        self.n_kfs = int(jnp.sum(self.map.kf_valid))
         self.kf_counter += 1
         self.last_kf_T = np.asarray(frame.T_cw)
         self.new_kf_slots.append(int(slot))
@@ -335,7 +337,8 @@ class Tracking:
             else:
                 self.state = "OK"
 
-            # keyframe decision (tracking.cpp:449-476)
+            # keyframe decision (tracking.cpp:449-476); capacity check is
+            # on live keyframes (culled slots are reusable)
             need = (
                 stats[3] > cfg.tracking.kf_min_trans
                 or stats[4] > cfg.tracking.kf_min_rot

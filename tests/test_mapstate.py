@@ -31,7 +31,7 @@ def test_insert_and_create_landmarks():
     m = ms.insert_keyframe(m, f, assoc, jnp.int32(0), jnp.int32(0))
     assert bool(m.kf_valid[0])
     m, assoc, n_created = ms.create_landmarks(
-        m, f, assoc, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        m, f, assoc, jnp.int32(0), jnp.int32(0),
         max_new=M, th_depth=float(cfg.camera.th_depth),
     )
     n = int(n_created)
@@ -54,7 +54,7 @@ def test_create_landmarks_respects_max_new():
     assoc = jnp.full((M,), -1, jnp.int32)
     m = ms.insert_keyframe(m, f, assoc, jnp.int32(0), jnp.int32(0))
     m, assoc, n_created = ms.create_landmarks(
-        m, f, assoc, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        m, f, assoc, jnp.int32(0), jnp.int32(0),
         max_new=10, th_depth=float(cfg.camera.th_depth),
     )
     assert int(n_created) == 10
@@ -74,7 +74,7 @@ def test_covisibility_counts_shared():
     assoc = jnp.full((M,), -1, jnp.int32)
     m = ms.insert_keyframe(m, f, assoc, jnp.int32(0), jnp.int32(0))
     m, assoc, n0 = ms.create_landmarks(
-        m, f, assoc, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        m, f, assoc, jnp.int32(0), jnp.int32(0),
         max_new=M, th_depth=float(cfg.camera.th_depth),
     )
     # second KF shares ~half the landmarks
@@ -97,7 +97,7 @@ def test_landmark_culling_low_found_ratio():
     assoc = jnp.full((M,), -1, jnp.int32)
     m = ms.insert_keyframe(m, f, assoc, jnp.int32(0), jnp.int32(0))
     m, assoc, n = ms.create_landmarks(
-        m, f, assoc, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        m, f, assoc, jnp.int32(0), jnp.int32(0),
         max_new=M, th_depth=float(cfg.camera.th_depth),
     )
     n = int(n)
@@ -123,7 +123,7 @@ def test_refresh_descriptors_picks_medoid():
     assoc = jnp.full((M,), -1, jnp.int32)
     m = ms.insert_keyframe(m, f, assoc, jnp.int32(0), jnp.int32(0))
     m, assoc, _ = ms.create_landmarks(
-        m, f, assoc, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        m, f, assoc, jnp.int32(0), jnp.int32(0),
         max_new=M, th_depth=float(cfg.camera.th_depth),
     )
     mask = jnp.ones((L,), bool)

@@ -101,9 +101,10 @@ def slam_step(
     )
 
     dt, dr = pose_distance(state.last_kf_T, frame.T_cw)
+    # capacity = any free slot (culling frees rows for reuse)
     need_kf = (
         ((dt > cfg.tracking.kf_min_trans) | (dr > cfg.tracking.kf_min_rot))
-        & (state.n_kfs < cfg.map.max_keyframes)
+        & ~jnp.all(m.kf_valid)
     )
 
     def insert(args):

@@ -146,11 +146,16 @@ def build_window(m: ms.MapState, slot: jnp.ndarray, cfg: SystemConfig):
 
     cam_slots = jnp.concatenate([cam_slots_w, fix_idx])
     cam_valid = jnp.concatenate([valid_w, valid_f])
-    cam_fixed = jnp.concatenate(
-        [jnp.zeros((n_win,), bool), jnp.ones((n_fix,), bool)]
-    )
+    # gauge: when the whole map fits in the window there are no outside
+    # anchors — pin the oldest in-window KF instead (otherwise the damped
+    # solve would drift the global frame)
+    has_anchor = jnp.any(valid_f)
+    fix_w = (cam_slots_w == oldest) & valid_w & ~has_anchor
+    cam_fixed = jnp.concatenate([fix_w, jnp.ones((n_fix,), bool)])
     # single-KF maps: fix the only camera
-    cam_fixed = cam_fixed.at[0].set(jnp.sum(m.kf_valid) <= 1)
+    cam_fixed = cam_fixed.at[0].set(
+        cam_fixed[0] | (jnp.sum(m.kf_valid) <= 1)
+    )
     return WindowSpec(cam_slots, cam_fixed, cam_valid)
 
 

@@ -1,0 +1,63 @@
+"""Full-SLAM throughput: the device-resident slam_step (tracking + local
+map + keyframe insertion) streamed over a synthetic sequence.
+
+Complements bench.py (config-1 VO fps, the headline metric) with the
+config-2 shape: map tracking against a growing keyframe/landmark database.
+
+Usage: python scripts/slam_bench.py [--frames 48]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=48)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from aslam_tpu.config import SystemConfig, CameraModel
+    from aslam_tpu.models.device_slam import DeviceSlam
+    from aslam_tpu.utils import synthetic
+
+    cam = CameraModel(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
+                      width=640, height=480)
+    cfg = SystemConfig(camera=cam)
+    print("devices:", jax.devices(), flush=True)
+    print("rendering...", flush=True)
+    imgs, depths, poses, _ = synthetic.make_sequence(
+        n_frames=args.frames, n_points=1500, cam=cam, seed=7)
+    imgs_u8 = np.clip(imgs, 0, 255).astype(np.uint8)
+    depths_u16 = np.clip(depths / cam.depth_factor, 0, 65535).astype(np.uint16)
+
+    slam = DeviceSlam(cfg, sync_every=10**9)  # mapping flushed manually
+    t0 = time.time()
+    slam.process(imgs_u8[0], depths_u16[0], 0.0)
+    slam.process(imgs_u8[1], depths_u16[1], 0.033)
+    jax.block_until_ready(slam.state.m.lm_pos)
+    print(f"compile+init {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    for i in range(2, args.frames):
+        slam.process(imgs_u8[i], depths_u16[i], i * 0.033)
+        jax.block_until_ready(slam.state.last_frame.T_cw)
+    dt = time.time() - t0
+    n = args.frames - 2
+    print(f"slam tracking: {n} frames in {dt:.3f}s -> {n/dt:.1f} fps",
+          flush=True)
+
+    t0 = time.time()
+    n_kfs = int(slam.state.n_kfs)
+    print(f"keyframes inserted on device: {n_kfs} "
+          f"(read took {time.time()-t0:.2f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -100,3 +100,54 @@ def test_ricp_policy_runs_in_system():
     # tracked with sane pose magnitudes (steps are ~2 cm)
     d = np.linalg.norm(np.asarray(T)[:3, 3])
     assert d < 0.5
+
+
+def test_ricp_escalates_on_poor_ransac(rng):
+    """Force the escalation branch (odometry.cpp:52-66): frames with valid
+    depth maps but almost no depth-valid keypoint matches make RANSAC fail
+    (ok=False, 0 inliers), so the policy must fall to ICP, which succeeds
+    off the dense depth."""
+    import jax
+
+    from aslam_tpu.config import small_config
+    from aslam_tpu.models.extractor import Features
+    from aslam_tpu.models.frame import FrameData
+    from aslam_tpu.models.odometry import ricp_step
+
+    cfg = small_config().replace(use_gicp=True)
+    cam = cfg.camera
+    M = cfg.extractor.max_keypoints
+    depth = wavy_depth(cam.height, cam.width)
+
+    def mk_frame(desc, kp_depth_valid):
+        xy = jnp.asarray(rng.uniform(20, 300, (M, 2)).astype(np.float32))
+        z = jnp.asarray(rng.uniform(0.5, 3.0, M).astype(np.float32))
+        z = jnp.where(jnp.asarray(kp_depth_valid), z, 0.0)
+        feat = Features(
+            xy=xy, response=jnp.ones(M), angle=jnp.zeros(M),
+            octave=jnp.zeros(M, jnp.int32), desc=jnp.asarray(desc),
+            valid=jnp.ones(M, bool),
+        )
+        from aslam_tpu.utils import camera as cam_mod
+
+        return FrameData(
+            feat=feat, xy_und=xy, p3d=cam_mod.unproject(cam, xy, z),
+            ur=jnp.full(M, -1.0), depth=z, has_depth=z > 0,
+            T_cw=jnp.eye(4), depth_map=jnp.asarray(depth),
+        )
+
+    desc = rng.integers(0, 2**32, (M, 8), dtype=np.uint32)
+    # matching descriptors but NO overlapping depth validity -> RANSAC
+    # has zero valid pairs
+    v1 = np.zeros(M, bool); v1[: M // 2] = True
+    v2 = ~v1
+    f1 = mk_frame(desc, v1)
+    f2 = mk_frame(desc, v2)
+    res = ricp_step(f1, f2, jax.random.PRNGKey(0), cfg)
+    # RANSAC had nothing (0 valid pairs) so the policy escalated; with no
+    # valid ICP source points either, the identity fallback must engage
+    # (odometry.cpp:55-65) and the output stays finite and sane
+    T = np.asarray(res.T_cw2)
+    assert np.isfinite(T).all()
+    assert np.linalg.norm(T[:3, 3]) < 0.05
+    assert int(res.n_inliers) < cfg.icp.escalate_min_inliers

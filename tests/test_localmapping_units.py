@@ -1,0 +1,83 @@
+"""Unit tests for local-mapping internals (window build, fuse)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from aslam_tpu.config import small_config
+from aslam_tpu.models import localmapping as lmm
+from aslam_tpu.models import mapstate as ms
+
+from tests.test_mapstate import make_test_frame
+
+
+def build_map_with_kfs(cfg, n_kfs=4, share=0.6):
+    """KFs observing overlapping landmark subsets."""
+    m = ms.init_map(cfg)
+    f = make_test_frame(cfg)
+    M = cfg.extractor.max_keypoints
+    assoc0 = jnp.full((M,), -1, jnp.int32)
+    m = ms.insert_keyframe(m, f, assoc0, jnp.int32(0), jnp.int32(0))
+    m, assoc, _ = ms.create_landmarks(
+        m, f, assoc0, jnp.int32(0), jnp.int32(0),
+        max_new=M, th_depth=float(cfg.camera.th_depth))
+    a = np.asarray(assoc)
+    bound = np.nonzero(a >= 0)[0]
+    for k in range(1, n_kfs):
+        a_k = np.full(M, -1, np.int32)
+        keep = bound[: int(len(bound) * share)]
+        a_k[keep] = a[keep]
+        m = ms.insert_keyframe(m, f, jnp.asarray(a_k), jnp.int32(k),
+                               jnp.int32(k))
+    return m, f
+
+
+def test_build_window_no_duplicate_cams():
+    """Regression: a window camera must never reappear as a fixed anchor
+    (double-counted residuals + wrong gauge)."""
+    cfg = small_config()
+    m, _ = build_map_with_kfs(cfg, n_kfs=5)
+    spec = lmm.build_window(m, jnp.int32(4), cfg)
+    slots = np.asarray(spec.cam_slots)
+    valid = np.asarray(spec.cam_valid)
+    used = slots[valid]
+    assert len(np.unique(used)) == len(used), f"duplicate cams: {used}"
+    # current KF is the first window entry and optimizable
+    assert used[0] == 4
+    assert not np.asarray(spec.cam_fixed)[0]
+    # a gauge exists: at least one valid fixed camera (an outside anchor,
+    # or — when the whole map is in the window — the oldest window KF)
+    fixed_valid = np.asarray(spec.cam_fixed) & valid
+    assert fixed_valid.any()
+    # the optimizable part is non-empty
+    assert (~np.asarray(spec.cam_fixed) & valid).any()
+
+
+def test_build_problem_masks_foreign_edges():
+    """Edges from fixed cams to landmarks outside the optimizable set must
+    be invalid (they would corrupt the Schur complement)."""
+    cfg = small_config()
+    m, _ = build_map_with_kfs(cfg, n_kfs=5)
+    spec = lmm.build_window(m, jnp.int32(4), cfg)
+    prob = lmm.build_problem(m, spec, cfg)
+    e_valid = np.asarray(prob.e_valid)
+    e_lm = np.asarray(prob.e_lm)
+    point_opt = np.asarray(prob.point_valid)
+    assert (point_opt[e_lm[e_valid]]).all()
+
+
+def test_fuse_binds_free_features():
+    """A KF with unbound features whose neighbors see landmarks projecting
+    onto them gets those bindings after fuse."""
+    cfg = small_config()
+    m, f = build_map_with_kfs(cfg, n_kfs=3, share=0.5)
+    before = int(jnp.sum(m.kf_lm[2] >= 0))
+    m2 = lmm.fuse_landmarks(m, jnp.int32(2), cfg)
+    after = int(jnp.sum(m2.kf_lm[2] >= 0))
+    # same frame, same features, same descriptors, same pose -> every
+    # landmark of KF 0/1 not yet bound in KF 2 projects exactly onto its
+    # own feature and fuses in
+    assert after > before
+    # no landmark bound twice within the row
+    row = np.asarray(m2.kf_lm[2])
+    bound = row[row >= 0]
+    assert len(np.unique(bound)) == len(bound)

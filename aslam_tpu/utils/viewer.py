@@ -29,6 +29,47 @@ def hud_counters(slam) -> dict:
     }
 
 
+def draw_matches(img1, xy1, img2, xy2, match_idx, path: str,
+                 valid=None, max_lines: int = 200) -> None:
+    """Side-by-side correspondence visualization (the reference's
+    Matcher::DrawMatches debug helper, matcher.cpp:315-353), written to a
+    PNG instead of a cv::imshow window."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img1 = np.asarray(img1)
+    img2 = np.asarray(img2)
+    xy1 = np.asarray(xy1)
+    xy2 = np.asarray(xy2)
+    match_idx = np.asarray(match_idx)
+    ok = match_idx >= 0
+    if valid is not None:
+        ok = ok & np.asarray(valid)
+
+    h = max(img1.shape[0], img2.shape[0])
+    w1 = img1.shape[1]
+    canvas = np.zeros((h, w1 + img2.shape[1]), np.float32)
+    canvas[: img1.shape[0], :w1] = img1
+    canvas[: img2.shape[0], w1:] = img2
+
+    fig, ax = plt.subplots(figsize=(12, 5))
+    ax.imshow(canvas, cmap="gray", vmin=0, vmax=255)
+    idx = np.nonzero(ok)[0][:max_lines]
+    for i in idx:
+        j = match_idx[i]
+        ax.plot([xy1[i, 0], xy2[j, 0] + w1], [xy1[i, 1], xy2[j, 1]],
+                "-", lw=0.5, alpha=0.7)
+    ax.scatter(xy1[idx, 0], xy1[idx, 1], s=4, c="#e53e3e")
+    ax.scatter(xy2[match_idx[idx], 0] + w1, xy2[match_idx[idx], 1], s=4,
+               c="#2b6cb0")
+    ax.set_title(f"{len(idx)} matches")
+    ax.axis("off")
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+
+
 def render_map(slam, path: str, show_covisibility: bool = True,
                min_covis_weight: int = 100) -> None:
     """Top-down (x-z) map snapshot: landmarks, keyframe positions,

@@ -122,3 +122,17 @@ def test_recall_precision_curve(rng):
     assert recall[-1] > 0.99        # everything matched at max threshold
     assert precision[-1] > 0.99     # and correctly
     assert recall[0] <= recall[-1]  # monotone-ish
+
+
+def test_draw_matches(tmp_path, rng):
+    from aslam_tpu.utils import viewer
+
+    img1 = rng.uniform(0, 255, (120, 160)).astype(np.float32)
+    img2 = rng.uniform(0, 255, (120, 160)).astype(np.float32)
+    xy1 = rng.uniform(10, 150, (30, 2)).astype(np.float32)
+    xy2 = rng.uniform(10, 150, (30, 2)).astype(np.float32)
+    match_idx = np.arange(30, dtype=np.int32)
+    match_idx[10:] = -1
+    path = str(tmp_path / "matches.png")
+    viewer.draw_matches(img1, xy1, img2, xy2, match_idx, path)
+    assert os.path.getsize(path) > 5000

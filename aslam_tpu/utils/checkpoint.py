@@ -61,4 +61,20 @@ def load_system(path_prefix: str, slam) -> None:
     t.n_kfs = counters.get("n_kfs", 0)
     t.next_lm = counters.get("next_lm", 0)
     t.kf_counter = counters.get("kf_counter", 0)
-    t.state = counters.get("state", "NO_IMAGES")
+    state = counters.get("state", "NO_IMAGES")
+    if state == "OK":
+        # per-frame state (last frame/associations) is not persisted; the
+        # next frame re-anchors against the restored map exactly like a
+        # new sequence (relocalization + bootstrap_track)
+        state = "NEW_SEQUENCE"
+        if t.last_kf_T is None:
+            import numpy as _np
+
+            kf_valid = _np.asarray(m.kf_valid)
+            if kf_valid.any():
+                ids = _np.asarray(m.kf_id)
+                last = _np.nonzero(kf_valid)[0][
+                    _np.argmax(ids[kf_valid])
+                ]
+                t.last_kf_T = _np.asarray(m.kf_T_cw)[last]
+    t.state = state

@@ -1,0 +1,52 @@
+"""Checkpoint -> resume -> continue tracking (config-5 requirement)."""
+
+import numpy as np
+
+from aslam_tpu.config import small_config
+from aslam_tpu.models.system import SlamSystem
+from aslam_tpu.utils import checkpoint, synthetic
+
+
+def test_resume_continues_tracking(tmp_path):
+    cfg = small_config()
+    rng = np.random.default_rng(21)
+    pts = synthetic.random_scene(rng, 500)
+    poses = synthetic.camera_trajectory(10, step_t=0.04, rng=rng)
+    tex = synthetic.point_textures(500, seed=22)
+    imgs = np.stack([synthetic.render_intensity_image(cfg.camera, T, pts, tex)
+                     for T in poses])
+    deps = np.stack([synthetic.render_depth_image(cfg.camera, T, pts, splat=4)
+                     for T in poses])
+
+    slam = SlamSystem(cfg)
+    for i in range(6):
+        slam.process(imgs[i], deps[i], t=i * 0.033)
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save_system(path, slam)
+    kfs_before = slam.tracking.n_kfs
+
+    slam2 = SlamSystem(cfg)
+    checkpoint.load_system(path, slam2)
+    assert slam2.tracking.state == "NEW_SEQUENCE"
+    for i in range(6, 10):
+        T, info = slam2.process(imgs[i], deps[i], t=i * 0.033)
+    # resumed run keeps the map and tracks against it
+    assert slam2.tracking.n_kfs >= kfs_before
+    tracked = [s.get("n_tracked", 0) for s in slam2.tracking.stats[1:]]
+    assert max(tracked) > 20, tracked
+
+
+def test_combined_gicp_loop_config():
+    """Config-3 combo (GICP policy + loop closing) runs end to end."""
+    cfg = small_config().replace(use_gicp=True, use_loop_closing=True)
+    rng = np.random.default_rng(23)
+    pts = synthetic.random_scene(rng, 400)
+    poses = synthetic.camera_trajectory(6, step_t=0.04, rng=rng)
+    tex = synthetic.point_textures(400, seed=24)
+    slam = SlamSystem(cfg)
+    for i, T in enumerate(poses):
+        img = synthetic.render_intensity_image(cfg.camera, T, pts, tex)
+        dep = synthetic.render_depth_image(cfg.camera, T, pts, splat=4)
+        Tout, info = slam.process(img, dep, t=i * 0.033)
+    assert np.isfinite(np.asarray(Tout)).all()
+    assert slam.tracking.n_kfs >= 1

@@ -77,8 +77,8 @@ def _extract_impl(
     for l, img_l in enumerate(levels):
         h, w = img_l.shape
         th_map = fast.threshold_map_from_grid(grid_thresholds, h, w)
-        resp = fast.fast_response(img_l, th_map)
-        resp = fast.nms_3x3(resp)
+        resp_raw = fast.fast_response(img_l, th_map)
+        resp = fast.nms_3x3(resp_raw)
         # keep descriptors' patches inside the image: kill a border strip
         b = orb.PATCH_RADIUS + 1
         row = jnp.arange(h)[:, None]
@@ -95,6 +95,10 @@ def _extract_impl(
         xy_l, resp_l, valid_l = select.grid_topk(
             resp, cfg.cell_px, k_cell=cfg.cell_topk, n_out=n_l
         )
+        # sub-pixel localization on the PRE-NMS response surface (NMS zeroes
+        # the neighbors the parabola fit needs); descriptors still gather at
+        # rounded coords, pose estimation uses the refined uv
+        xy_l = select.subpixel_refine(resp_raw, xy_l)
 
         img_blur = pyramid.gaussian_blur(img_l)
         desc_l, angle_l = orb.describe(img_blur, xy_l)

@@ -69,3 +69,27 @@ def grid_topk(
     # guard padded-region picks (score 0 -> invalid anyway)
     out_valid = out_valid & (out_xy[:, 0] < W) & (out_xy[:, 1] < H)
     return out_xy, out_resp, out_valid
+
+
+def subpixel_refine(score: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Quadratic sub-pixel refinement of keypoint locations on the raw
+    (pre-NMS) response map: fit a 1-D parabola through the three samples
+    along each axis and shift by its vertex, clamped to ±0.5 px.
+
+    The reference keeps integer FAST corners (orbextractor has no subpixel
+    stage); this is a strictly-better-accuracy addition that costs two
+    gathers per keypoint.
+    """
+    H, W = score.shape
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 1, W - 2)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 1, H - 2)
+    c = score[yi, xi]
+    dx = score[yi, xi + 1] - score[yi, xi - 1]
+    dxx = score[yi, xi + 1] - 2 * c + score[yi, xi - 1]
+    dy = score[yi + 1, xi] - score[yi - 1, xi]
+    dyy = score[yi + 1, xi] - 2 * c + score[yi - 1, xi]
+    off_x = jnp.where(jnp.abs(dxx) > 1e-6, -0.5 * dx / dxx, 0.0)
+    off_y = jnp.where(jnp.abs(dyy) > 1e-6, -0.5 * dy / dyy, 0.0)
+    off = jnp.stack([jnp.clip(off_x, -0.5, 0.5),
+                     jnp.clip(off_y, -0.5, 0.5)], axis=-1)
+    return xy + off

@@ -50,3 +50,31 @@ def test_combined_gicp_loop_config():
         Tout, info = slam.process(img, dep, t=i * 0.033)
     assert np.isfinite(np.asarray(Tout)).all()
     assert slam.tracking.n_kfs >= 1
+
+
+def test_sensor_dropout_recovery():
+    """Blank frames mid-sequence (sensor dropout): the system must not
+    crash, must flag LOST, and must keep producing finite poses when
+    frames return."""
+    cfg = small_config().replace(use_loop_closing=True)
+    rng = np.random.default_rng(31)
+    pts = synthetic.random_scene(rng, 500)
+    poses = synthetic.camera_trajectory(12, step_t=0.04, rng=rng)
+    tex = synthetic.point_textures(500, seed=32)
+    slam = SlamSystem(cfg)
+    states = []
+    for i, T in enumerate(poses):
+        if i in (5, 6):
+            img = np.zeros((cfg.camera.height, cfg.camera.width), np.float32)
+            dep = np.zeros_like(img)
+        else:
+            img = synthetic.render_intensity_image(cfg.camera, T, pts, tex)
+            dep = synthetic.render_depth_image(cfg.camera, T, pts, splat=4)
+        Tout, info = slam.process(img, dep, t=i * 0.033)
+        states.append(slam.tracking.state)
+        assert np.isfinite(np.asarray(Tout)).all(), f"non-finite pose at {i}"
+    # dropout frames flagged LOST
+    assert "LOST" in states[5:8], states
+    # recovered tracking by the end
+    tail = [s.get("n_tracked", 0) for s in slam.tracking.stats[-3:]]
+    assert max(tail) > 20, (states, tail)

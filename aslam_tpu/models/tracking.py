@@ -343,6 +343,10 @@ class Tracking:
                 stats[3] > cfg.tracking.kf_min_trans
                 or stats[4] > cfg.tracking.kf_min_rot
             )
+            if info.get("relocalized"):
+                # the pre-reloc pose delta is meaningless; re-establish
+                # tracking before spending a keyframe
+                need = False
             if need and self.n_kfs < cfg.map.max_keyframes:
                 assoc = self._insert_keyframe(
                     frame, assoc, max_new=cfg.tracking.max_vo_points

@@ -139,6 +139,23 @@ def render_intensity_image(
     return np.clip(img, 0.0, 255.0)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _make_sequence_cached(n_frames: int, cam: CameraModel, n_points: int,
+                          seed: int):
+    rng = np.random.default_rng(seed)
+    pts = random_scene(rng, n_points)
+    poses = camera_trajectory(n_frames, rng=rng)
+    tex = point_textures(n_points, seed=seed + 1)
+    imgs = np.stack([render_intensity_image(cam, T, pts, tex) for T in poses])
+    depths = np.stack([render_depth_image(cam, T, pts, splat=4) for T in poses])
+    for a in (imgs, depths, poses, pts):
+        a.setflags(write=False)
+    return imgs, depths, poses, pts
+
+
 def make_sequence(
     n_frames: int = 5,
     cam: CameraModel | None = None,
@@ -146,13 +163,9 @@ def make_sequence(
     seed: int = 0,
 ):
     """Full synthetic RGB-D sequence: (images[F,H,W], depths[F,H,W],
-    poses_cw[F,4,4], points_w[N,3])."""
+    poses_cw[F,4,4], points_w[N,3]).  Deterministic per arguments and
+    memoized (the splat renderer is pure-Python and slow); returned arrays
+    are read-only views — copy before mutating."""
     cam = cam or CameraModel(fx=300.0, fy=300.0, cx=160.0, cy=120.0,
                              width=320, height=240)
-    rng = np.random.default_rng(seed)
-    pts = random_scene(rng, n_points)
-    poses = camera_trajectory(n_frames, rng=rng)
-    tex = point_textures(n_points, seed=seed + 1)
-    imgs = np.stack([render_intensity_image(cam, T, pts, tex) for T in poses])
-    depths = np.stack([render_depth_image(cam, T, pts, splat=4) for T in poses])
-    return imgs, depths, poses, pts
+    return _make_sequence_cached(n_frames, cam, n_points, seed)

@@ -136,3 +136,35 @@ def test_draw_matches(tmp_path, rng):
     path = str(tmp_path / "matches.png")
     viewer.draw_matches(img1, xy1, img2, xy2, match_idx, path)
     assert os.path.getsize(path) > 5000
+
+
+def test_pointcloud_create_and_ply(tmp_path, rng):
+    from aslam_tpu.config import small_config
+    from aslam_tpu.utils import pointcloud, synthetic
+
+    cfg = small_config()
+    imgs, depths, poses, _ = synthetic.make_sequence(n_frames=1, n_points=200)
+    pts, gray = pointcloud.create_cloud(
+        np.array(depths[0]), cfg.camera, poses[0], np.array(imgs[0]),
+        stride=2, voxel=0.05)
+    assert len(pts) > 50
+    assert gray is not None and len(gray) == len(pts)
+    # voxel thinning: no two points share a voxel
+    vox = np.floor(pts / 0.05).astype(int)
+    # world-frame transform applied (identity pose here -> camera frame)
+    path = str(tmp_path / "cloud.ply")
+    pointcloud.save_ply(path, pts, gray)
+    head = open(path).read(200)
+    assert head.startswith("ply") and "element vertex" in head
+
+
+def test_statistical_outlier_filter(rng):
+    from aslam_tpu.utils import pointcloud
+
+    pts = np.concatenate([
+        rng.normal(0, 0.1, (200, 3)),
+        [[5.0, 5.0, 5.0]],   # far outlier
+    ]).astype(np.float32)
+    keep = pointcloud.statistical_outlier_filter(pts, k=8, std_ratio=1.0)
+    assert not keep[-1]
+    assert keep[:200].mean() > 0.8

@@ -62,6 +62,8 @@ def main(argv=None):
                     help="save map checkpoint here at the end")
     ap.add_argument("--resume", default="", help="load map checkpoint")
     ap.add_argument("--render-map", action="store_true")
+    ap.add_argument("--export-cloud", action="store_true",
+                    help="fuse depth maps into results/map.ply")
     args = ap.parse_args(argv)
 
     from aslam_tpu.utils.dataset import TumSequence
@@ -131,6 +133,12 @@ def main(argv=None):
             from aslam_tpu.utils.viewer import render_map
 
             render_map(slam, os.path.join(args.out_dir, "map.png"))
+        if args.export_cloud:
+            from aslam_tpu.utils.pointcloud import export_dense_map
+
+            n_pts = export_dense_map(
+                slam, seq, os.path.join(args.out_dir, "map.ply"))
+            print(f"dense map: {n_pts} points -> map.ply")
 
     metrics.dump(os.path.join(args.out_dir, "metrics.json"))
     print(json.dumps(metrics.summary()["timers"], indent=2))

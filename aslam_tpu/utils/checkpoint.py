@@ -44,14 +44,27 @@ def load_map(path: str) -> tuple[MapState, dict]:
 
 
 def save_system(path_prefix: str, slam) -> None:
-    """Persist a SlamSystem's map + tracking counters."""
+    """Persist a SlamSystem: map + tracking counters, and (when loop
+    closing is active) the trained vocabulary + BoW database."""
     t = slam.tracking
     save_map(path_prefix, t.map, {
         "n_kfs": t.n_kfs,
         "next_lm": t.next_lm,
         "kf_counter": t.kf_counter,
         "state": t.state,
+        "last_loop_kf_id": getattr(slam.loop_closing, "last_loop_kf_id", None)
+        if slam.loop_closing else None,
     })
+    lc = slam.loop_closing
+    if lc is not None and lc.vocab is not None:
+        from aslam_tpu.ops import bow
+
+        base = path_prefix.removesuffix(".npz")
+        bow.save_vocabulary(base + ".vocab.npz", lc.vocab)
+        np.savez_compressed(
+            base + ".loopdb.npz",
+            **{f: np.asarray(getattr(lc.db, f)) for f in lc.db._fields},
+        )
 
 
 def load_system(path_prefix: str, slam) -> None:
@@ -78,3 +91,21 @@ def load_system(path_prefix: str, slam) -> None:
                 ]
                 t.last_kf_T = _np.asarray(m.kf_T_cw)[last]
     t.state = state
+
+    lc = slam.loop_closing
+    if lc is not None:
+        import os as _os
+
+        from aslam_tpu.models.loopclosing import DatabaseState
+        from aslam_tpu.ops import bow
+
+        base = path_prefix.removesuffix(".npz")
+        if _os.path.exists(base + ".vocab.npz"):
+            lc.vocab = bow.load_vocabulary(base + ".vocab.npz")
+        if _os.path.exists(base + ".loopdb.npz"):
+            data = np.load(base + ".loopdb.npz")
+            lc.db = DatabaseState(**{
+                f: jnp.asarray(data[f]) for f in DatabaseState._fields
+            })
+        if counters.get("last_loop_kf_id") is not None:
+            lc.last_loop_kf_id = counters["last_loop_kf_id"]

@@ -81,15 +81,17 @@ def save_ply(path: str, pts: np.ndarray, gray: np.ndarray | None = None) -> None
                 f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
 
 
-def export_dense_map(slam, frames: list, path: str, voxel: float = 0.03,
+def export_dense_map(slam, seq, path: str, voxel: float = 0.03,
                      max_frames: int = 20) -> int:
-    """Fuse (timestamp, image, depth) triples with the estimated
-    trajectory into one world cloud; returns point count."""
+    """Fuse frames from an indexable sequence of (timestamp, image, depth)
+    with the estimated trajectory into one world cloud; returns point
+    count.  Frame i of `seq` must correspond to pose i."""
     clouds, grays = [], []
     poses = slam.tracking.poses
-    step = max(len(frames) // max_frames, 1)
-    for i in range(0, min(len(frames), len(poses)), step):
-        t, img, depth = frames[i]
+    n = min(len(seq), len(poses))
+    step = max(n // max_frames, 1)
+    for i in range(0, n, step):
+        t, img, depth = seq[i]
         pts, gray = create_cloud(depth, slam.cfg.camera, poses[i], img,
                                  voxel=voxel)
         clouds.append(pts)

@@ -78,3 +78,38 @@ def test_sensor_dropout_recovery():
     # recovered tracking by the end
     tail = [s.get("n_tracked", 0) for s in slam.tracking.stats[-3:]]
     assert max(tail) > 20, (states, tail)
+
+
+def test_resume_with_loop_database(tmp_path):
+    """Vocabulary + BoW database survive checkpoint/resume."""
+    import jax.numpy as jnp
+
+    from aslam_tpu.ops import bow
+
+    cfg = small_config().replace(use_loop_closing=True)
+    rng = np.random.default_rng(41)
+    pts = synthetic.random_scene(rng, 500)
+    poses = synthetic.camera_trajectory(10, step_t=0.05, rng=rng)
+    tex = synthetic.point_textures(500, seed=42)
+    slam = SlamSystem(cfg)
+    for i, T in enumerate(poses):
+        img = synthetic.render_intensity_image(cfg.camera, T, pts, tex)
+        dep = synthetic.render_depth_image(cfg.camera, T, pts, splat=4)
+        slam.process(img, dep, t=i * 0.033)
+    if slam.loop_closing.vocab is None:
+        # not enough keyframes to train -> nothing to persist; still valid
+        return
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save_system(path, slam)
+
+    slam2 = SlamSystem(cfg)
+    checkpoint.load_system(path, slam2)
+    assert slam2.loop_closing.vocab is not None
+    # identical word assignment after reload
+    desc = np.asarray(slam.map.kf_desc[0])[:64]
+    w1 = np.asarray(bow.transform(slam.loop_closing.vocab, jnp.asarray(desc)))
+    w2 = np.asarray(bow.transform(slam2.loop_closing.vocab, jnp.asarray(desc)))
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_array_equal(
+        np.asarray(slam.loop_closing.db.kf_in_db),
+        np.asarray(slam2.loop_closing.db.kf_in_db))

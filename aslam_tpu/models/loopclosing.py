@@ -312,7 +312,11 @@ class LoopClosing:
         if not bool(ok):
             return m
         pg = build_pose_graph(m, slot_j, jnp.int32(cand_i), T_qc, cfg)
-        pg = pose_graph.optimize(pg, iters=cfg.loop.pose_graph_iters)
+        if m.kf_valid.shape[0] > 256:
+            # matrix-free PCG at map scale; dense Cholesky under ~256 KFs
+            pg = pose_graph.optimize_cg(pg, iters=cfg.loop.pose_graph_iters)
+        else:
+            pg = pose_graph.optimize(pg, iters=cfg.loop.pose_graph_iters)
         m = correct_map(m, pg.T)
         self.last_loop_kf_id = kf_id
         self.loops.append((slot, cand_i))

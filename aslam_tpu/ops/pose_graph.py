@@ -128,6 +128,81 @@ def optimize(pg: PoseGraph, iters: int = 20, lam: float = 1e-6) -> PoseGraph:
     return pg._replace(T=T)
 
 
+@functools.partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def optimize_cg(pg: PoseGraph, iters: int = 15, cg_iters: int = 64,
+                lam: float = 1e-6) -> PoseGraph:
+    """Matrix-free Gauss-Newton with block-Jacobi-preconditioned CG —
+    the map-scale path (the dense solver materializes [6K, 6K]; this one
+    only ever touches per-edge blocks and [K, 6] vectors, so 10k+
+    keyframe graphs fit trivially and every product is a batched
+    einsum + segment scatter).
+    """
+    K = pg.T.shape[0]
+
+    def gn_step(_, T):
+        T_i = T[pg.e_i]
+        T_j = T[pg.e_j]
+        r = jax.vmap(edge_residual)(T_i, T_j, pg.e_meas)         # [E,6]
+        Ji, Jj = jax.vmap(_edge_jacobians)(T_i, T_j, pg.e_meas)  # [E,6,6]
+        w = pg.e_w * pg.node_valid[pg.e_i] * pg.node_valid[pg.e_j]
+        free = (pg.node_valid & ~pg.node_fixed)[:, None]          # [K,1]
+
+        wJi = w[:, None, None] * Ji
+        wJj = w[:, None, None] * Jj
+        b = jnp.zeros((K, 6)).at[pg.e_i].add(
+            jnp.einsum("eri,er->ei", wJi, r)
+        ).at[pg.e_j].add(jnp.einsum("eri,er->ei", wJj, r))
+        b = jnp.where(free, b, 0.0)
+
+        # block-diagonal of H for the Jacobi preconditioner
+        D = jnp.zeros((K, 6, 6)).at[pg.e_i].add(
+            jnp.einsum("eri,erj->eij", wJi, Ji)
+        ).at[pg.e_j].add(jnp.einsum("eri,erj->eij", wJj, Jj))
+        D = D + (lam + 1e-8) * jnp.eye(6)
+        D_inv = jnp.linalg.inv(D)
+
+        def Hv(v):
+            # per-edge: q_e = Ji v_i + Jj v_j ; scatter back JT w q
+            vi = v[pg.e_i]
+            vj = v[pg.e_j]
+            q = jnp.einsum("eij,ej->ei", Ji, vi) + \
+                jnp.einsum("eij,ej->ei", Jj, vj)
+            out = jnp.zeros((K, 6)).at[pg.e_i].add(
+                jnp.einsum("eri,er->ei", wJi, q)
+            ).at[pg.e_j].add(jnp.einsum("eri,er->ei", wJj, q))
+            out = out + lam * v
+            return jnp.where(free, out, 0.0)
+
+        def precond(v):
+            return jnp.where(free, jnp.einsum("kij,kj->ki", D_inv, v), 0.0)
+
+        # PCG for H dx = -b
+        def cg_body(_, carry):
+            x, rres, z, p, rz = carry
+            Hp = Hv(p)
+            denom = jnp.sum(p * Hp)
+            alpha = jnp.where(jnp.abs(denom) > 1e-12, rz / denom, 0.0)
+            x = x + alpha * p
+            rres = rres - alpha * Hp
+            z = precond(rres)
+            rz_new = jnp.sum(rres * z)
+            beta = jnp.where(jnp.abs(rz) > 1e-12, rz_new / rz, 0.0)
+            p = z + beta * p
+            return (x, rres, z, p, rz_new)
+
+        x0 = jnp.zeros((K, 6))
+        r0 = -b
+        z0 = precond(r0)
+        carry = (x0, r0, z0, z0, jnp.sum(r0 * z0))
+        x, *_ = jax.lax.fori_loop(0, cg_iters, cg_body, carry)
+
+        dx = jnp.where(jnp.isfinite(x) & free, x, 0.0)
+        return jax.vmap(se3_exp)(dx) @ T
+
+    T = jax.lax.fori_loop(0, iters, gn_step, pg.T)
+    return pg._replace(T=T)
+
+
 def total_error(pg: PoseGraph) -> jnp.ndarray:
     r = jax.vmap(edge_residual)(pg.T[pg.e_i], pg.T[pg.e_j], pg.e_meas)
     w = pg.e_w * pg.node_valid[pg.e_i] * pg.node_valid[pg.e_j]

@@ -104,3 +104,26 @@ def test_chunked_sweep_matches_dense(rng):
                                np.asarray(dense.lm_pos), atol=1e-5)
     assert int(s1.n_edges) == int(s2.n_edges)
     assert np.isclose(float(s1.chi2), float(s2.chi2), rtol=1e-4)
+
+
+def test_gn_cg_step_converges_faster_than_sweeps(rng):
+    cfg, m, T_true, pts_true, n_kfs, n_pts = build_noisy_map(rng)
+
+    sweeps = m
+    for i in range(4):
+        sweeps, s_sw = global_ba.ba_sweep(sweeps, cfg.camera, cfg.ba,
+                                          robust=(i < 2))
+    cg = m
+    for i in range(4):
+        cg, s_cg = global_ba.gn_cg_step(cg, cfg.camera, cfg.ba,
+                                        robust=(i < 2), cg_iters=32,
+                                        kf_chunk=m.kf_lm.shape[0] // 2)
+    assert float(s_cg.chi2) <= float(s_sw.chi2) * 1.1
+
+    err_sw = max(np.linalg.norm(np.asarray(sweeps.kf_T_cw)[k][:3, 3]
+                                - T_true[k][:3, 3]) for k in range(1, n_kfs))
+    err_cg = max(np.linalg.norm(np.asarray(cg.kf_T_cw)[k][:3, 3]
+                                - T_true[k][:3, 3]) for k in range(1, n_kfs))
+    # joint steps must at least match the alternating half-steps
+    assert err_cg <= err_sw * 1.2
+    assert err_cg < 5e-3

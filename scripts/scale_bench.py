@@ -87,6 +87,7 @@ def main():
     ap.add_argument("--feats", type=int, default=256)
     ap.add_argument("--chunk", type=int, default=512)
     ap.add_argument("--sweeps", type=int, default=6)
+    ap.add_argument("--method", choices=["sweep", "gn_cg"], default="sweep")
     args = ap.parse_args()
 
     import jax
@@ -110,8 +111,13 @@ def main():
     E = int(np.asarray(m.kf_kp_valid).sum())
     print(f"map: K={args.kfs} L={m.lm_pos.shape[0]} E={E}", flush=True)
 
-    sweep = lambda mm: global_ba.ba_sweep_chunked(  # noqa: E731
-        mm, cam, cfg.ba, robust=True, lam=1e-2, kf_chunk=args.chunk)
+    if args.method == "gn_cg":
+        sweep = lambda mm: global_ba.gn_cg_step(  # noqa: E731
+            mm, cam, cfg.ba, robust=True, cg_iters=32, lam=1e-3,
+            kf_chunk=args.chunk)
+    else:
+        sweep = lambda mm: global_ba.ba_sweep_chunked(  # noqa: E731
+            mm, cam, cfg.ba, robust=True, lam=1e-2, kf_chunk=args.chunk)
     t0 = time.time()
     m2, stats = sweep(m)
     jax.block_until_ready(m2.kf_T_cw)

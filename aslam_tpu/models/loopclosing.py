@@ -107,6 +107,26 @@ def query_candidates(
     return jnp.where(found, best, -1), scores[best]
 
 
+def bow_guided_match(
+    words_a: jnp.ndarray, desc_a: jnp.ndarray, valid_a: jnp.ndarray,
+    words_b: jnp.ndarray, desc_b: jnp.ndarray, valid_b: jnp.ndarray,
+    cfg: SystemConfig,
+) -> matching.Matches:
+    """Word-bucketed descriptor match with TH_LOW + BoW ratio test
+    (Matcher::BoWMatch semantics, matcher.cpp:147-210): candidates must
+    share a vocabulary word, expressed as a mask on the distance matrix."""
+    d = masked_distance_matrix(desc_a, valid_a, desc_b, valid_b)
+    same_word = words_a[:, None] == words_b[None, :]
+    d = jnp.where(same_word, d, INVALID_DIST)
+    neg, idx = jax.lax.top_k(-d, 2)
+    d1, i1, d2 = -neg[:, 0], idx[:, 0], -neg[:, 1]
+    ok = (d1 <= cfg.matcher.th_low) & (d1 < cfg.matcher.ratio_bow * d2)
+    mm = matching.Matches(
+        target_idx=jnp.where(ok, i1, -1), distance=d1, valid=ok
+    )
+    return matching.resolve_duplicates(mm, desc_b.shape[0])
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def verify_loop(
     db: DatabaseState, m: ms.MapState, q: jnp.ndarray, c: jnp.ndarray,
@@ -116,19 +136,10 @@ def verify_loop(
     (the design sketched-but-commented at loopclosing.cpp:95-131).
     Returns (T_qc [4,4], n_inliers, ok)."""
     cam = cfg.camera
-    # word-bucketed descriptor match (BoWMatch, matcher.cpp:147-210)
-    d = masked_distance_matrix(
-        m.kf_desc[c], m.kf_kp_valid[c], m.kf_desc[q], m.kf_kp_valid[q]
+    mm = bow_guided_match(
+        db.kf_words[c], m.kf_desc[c], m.kf_kp_valid[c],
+        db.kf_words[q], m.kf_desc[q], m.kf_kp_valid[q], cfg,
     )
-    same_word = db.kf_words[c][:, None] == db.kf_words[q][None, :]
-    d = jnp.where(same_word, d, INVALID_DIST)
-    neg, idx = jax.lax.top_k(-d, 2)
-    d1, i1, d2 = -neg[:, 0], idx[:, 0], -neg[:, 1]
-    ok_m = (d1 <= cfg.matcher.th_low) & (d1 < cfg.matcher.ratio_bow * d2)
-    mm = matching.Matches(
-        target_idx=jnp.where(ok_m, i1, -1), distance=d1, valid=ok_m
-    )
-    mm = matching.resolve_duplicates(mm, m.kf_desc.shape[1])
 
     # 3D points in each camera frame
     p_c = camera.unproject(cam, m.kf_xy[c], m.kf_z[c])
@@ -220,18 +231,10 @@ def _reloc_verify(
     """BoW-guided match + 3D-3D RANSAC of a lost frame against candidate
     keyframe `cand`.  Returns (T_cw for the frame, n_inliers, ok)."""
     cam = cfg.camera
-    d = masked_distance_matrix(
-        m.kf_desc[cand], m.kf_kp_valid[cand], frame_desc, frame_valid
+    mm = bow_guided_match(
+        db.kf_words[cand], m.kf_desc[cand], m.kf_kp_valid[cand],
+        frame_words, frame_desc, frame_valid, cfg,
     )
-    same_word = db.kf_words[cand][:, None] == frame_words[None, :]
-    d = jnp.where(same_word, d, INVALID_DIST)
-    neg, idx = jax.lax.top_k(-d, 2)
-    d1, i1, d2 = -neg[:, 0], idx[:, 0], -neg[:, 1]
-    ok_m = (d1 <= cfg.matcher.th_low) & (d1 < cfg.matcher.ratio_bow * d2)
-    mm = matching.Matches(
-        target_idx=jnp.where(ok_m, i1, -1), distance=d1, valid=ok_m
-    )
-    mm = matching.resolve_duplicates(mm, frame_desc.shape[0])
 
     p_kf = camera.unproject(cam, m.kf_xy[cand], m.kf_z[cand])
     tgt = jnp.maximum(mm.target_idx, 0)

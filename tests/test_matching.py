@@ -99,3 +99,22 @@ def test_projection_match_th_high(rng):
         radius=8.0, th_high=100.0, ratio=0.8,
     )
     assert not np.asarray(m.valid).any()
+
+
+def test_window_match(rng):
+    """Spatially-windowed 2-NN ratio match: twins found only in-window."""
+    n = 12
+    d1 = random_desc(rng, n)
+    d2 = d1.copy()
+    uv1 = rng.uniform(0, 300, (n, 2)).astype(np.float32)
+    uv2 = uv1 + rng.uniform(-3, 3, (n, 2)).astype(np.float32)
+    uv2[4] = uv1[4] + 100.0  # out of window
+    m = matching.window_match(
+        jnp.asarray(d1), jnp.ones(n, bool), jnp.asarray(uv1),
+        jnp.asarray(d2), jnp.ones(n, bool), jnp.asarray(uv2),
+        radius=10.0, max_dist=64.0, ratio=0.9,
+    )
+    idx = np.asarray(m.target_idx)
+    assert idx[4] == -1
+    good = [i for i in range(n) if i != 4]
+    assert (idx[good] == np.asarray(good)).mean() > 0.8

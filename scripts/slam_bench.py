@@ -53,10 +53,22 @@ def main():
     print(f"slam tracking: {n} frames in {dt:.3f}s -> {n/dt:.1f} fps",
           flush=True)
 
-    t0 = time.time()
-    n_kfs = int(slam.state.n_kfs)
-    print(f"keyframes inserted on device: {n_kfs} "
-          f"(read took {time.time()-t0:.2f}s)", flush=True)
+    # scalar readback under a watchdog (the relay's d2h path can hang)
+    import os, sys, threading
+
+    def _read():
+        t0 = time.time()
+        n_kfs = int(slam.state.n_kfs)
+        print(f"keyframes inserted on device: {n_kfs} "
+              f"(read took {time.time()-t0:.2f}s)", flush=True)
+
+    th = threading.Thread(target=_read, daemon=True)
+    th.start()
+    th.join(timeout=60.0)
+    if th.is_alive():
+        print("keyframe-count readback timed out (relay d2h) — fps stands",
+              flush=True)
+        sys.stdout.flush(); os._exit(0)
 
 
 if __name__ == "__main__":

@@ -168,3 +168,29 @@ def test_statistical_outlier_filter(rng):
     keep = pointcloud.statistical_outlier_filter(pts, k=8, std_ratio=1.0)
     assert not keep[-1]
     assert keep[:200].mean() > 0.8
+
+
+def test_xla_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    with metrics.xla_trace(str(tmp_path / "trace")):
+        (jnp.ones((32, 32)) * 2).block_until_ready()
+    # a trace directory with content was produced
+    produced = list((tmp_path / "trace").rglob("*"))
+    assert produced, "no profiler output written"
+
+
+def test_dbscan_chain_merge(rng):
+    """Two dense blobs connected by a chain of core points must merge."""
+    blob1 = rng.normal([20, 20], 1.5, (12, 2))
+    blob2 = rng.normal([60, 20], 1.5, (12, 2))
+    chain = np.stack([np.linspace(22, 58, 10), np.full(10, 20.0)], -1)
+    # make chain points core: duplicate each with a small offset
+    chain2 = chain + [0.5, 0.5]
+    pts = np.concatenate([blob1, blob2, chain, chain2]).astype(np.float32)
+    import jax.numpy as jnp
+
+    labels = np.asarray(dbscan.dbscan_labels(
+        jnp.asarray(pts), jnp.ones(len(pts), bool), eps=6.0, min_pts=3))
+    assert (labels >= 0).all()
+    assert len(np.unique(labels)) == 1, "chained clusters failed to merge"

@@ -80,3 +80,25 @@ def test_sharded_gn_cg_matches_single(rng):
         atol=2e-3)
     assert int(stats.n_edges) == int(ref_stats.n_edges)
     assert np.isclose(float(stats.chi2), float(ref_stats.chi2), rtol=0.05)
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (1, 8)])
+def test_sharded_gn_cg_mesh_layouts(rng, shape):
+    import jax
+
+    from aslam_tpu.parallel import sharded_gn_cg
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg, m, T_true, pts_true, n_kfs, n_pts = build_noisy_map(rng, n_kfs=8,
+                                                             n_pts=64)
+    mesh = mesh_mod.make_mesh(8, dp=shape[0], lm=shape[1])
+    padded = sgba.pad_map_for_mesh(m, mesh)
+    out, stats = sharded_gn_cg.sharded_gn_cg_step(
+        padded, cfg.camera, cfg.ba, mesh, robust=True, cg_iters=16)
+    # one step reduces camera error
+    err0 = max(np.linalg.norm(np.asarray(m.kf_T_cw)[k][:3, 3] - T_true[k][:3, 3])
+               for k in range(1, n_kfs))
+    err1 = max(np.linalg.norm(np.asarray(out.kf_T_cw)[k][:3, 3] - T_true[k][:3, 3])
+               for k in range(1, n_kfs))
+    assert err1 < err0

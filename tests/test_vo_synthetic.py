@@ -36,3 +36,22 @@ def test_vo_tracks_synthetic_sequence():
     R_err = np.asarray(vo.poses[-1])[:3, :3] @ poses_gt[-1][:3, :3].T
     ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
     assert ang < 1.0, f"final rotation error {ang:.2f} deg"
+
+
+def test_vo_with_icl_camera_preset():
+    """ICL-NUIM preset has negative fy (flipped y axis) — the whole
+    pipeline must be sign-safe."""
+    from aslam_tpu.config import ICL_NUIM, small_config
+    import dataclasses
+
+    cam = dataclasses.replace(ICL_NUIM, width=320, height=240,
+                              cx=160.0, cy=120.0, fx=240.0, fy=-240.0)
+    cfg = small_config().replace(camera=cam)
+    imgs, depths, poses_gt, _ = synthetic.make_sequence(
+        n_frames=4, n_points=400, cam=cam, seed=13)
+    vo = VisualOdometry(cfg)
+    for i in range(4):
+        T = vo.process(imgs[i], depths[i], t=i * 0.03)
+    assert np.isfinite(T).all()
+    for s in vo.stats:
+        assert s["n_matches"] > 20, s

@@ -78,6 +78,21 @@ def _extract_impl(
         h, w = img_l.shape
         th_map = fast.threshold_map_from_grid(grid_thresholds, h, w)
         resp_raw = fast.fast_response(img_l, th_map)
+        if not cfg.adaptive:
+            # static mode keeps the reference's per-cell fallback
+            # (orbextractor.cpp:665-746: cells empty at threshold 20 retry
+            # at 7) — cells of the detection grid with no corners get a
+            # second FAST pass at the minimum threshold
+            g = cfg.adaptive_grid
+            counts0 = fast.counts_per_grid_cell(resp_raw, g, g)
+            weak_cells = counts0 == 0
+            th_low_map = fast.threshold_map_from_grid(
+                jnp.where(weak_cells, float(cfg.fast_threshold_min),
+                          grid_thresholds), h, w)
+            weak_px = fast.threshold_map_from_grid(
+                weak_cells.astype(jnp.float32), h, w) > 0
+            resp_raw = jnp.where(
+                weak_px, fast.fast_response(img_l, th_low_map), resp_raw)
         resp = fast.nms_3x3(resp_raw)
         # keep descriptors' patches inside the image: kill a border strip
         b = orb.PATCH_RADIUS + 1

@@ -264,3 +264,21 @@ def test_extractor_repeatability_across_shift():
         d = np.min(np.linalg.norm(xy2 - q, axis=1))
         assert d <= 2.5
     assert n_checked > 0
+
+
+def test_static_mode_threshold_fallback():
+    """Cells empty at the base threshold retry at fast_threshold_min
+    (orbextractor.cpp fallback 20 -> 7): weak-contrast corners in an
+    otherwise empty cell must be found in static mode."""
+    img = np.full((120, 160), 100.0, np.float32)
+    # strong square (top-left cell), weak square (bottom-right cell)
+    img[10:22, 10:22] = 220.0      # contrast 120 >> 20
+    img[90:102, 120:132] = 112.0   # contrast 12: below 20, above 7
+    cfg = ExtractorConfig(n_features=64, max_keypoints=64, n_levels=1,
+                          adaptive=False, fast_threshold=20,
+                          fast_threshold_min=7)
+    feats, _ = ext.extract_features(jnp.asarray(img), cfg)
+    xy = np.asarray(feats.xy)[np.asarray(feats.valid)]
+    assert len(xy) > 0
+    near_weak = np.abs(xy - np.array([126, 96])).max(1) < 12
+    assert near_weak.any(), "weak-cell corners not recovered by fallback"

@@ -55,6 +55,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# persistent compile cache: the suite compiles hundreds of CPU programs;
+# repeat runs (driver rounds, local iteration) hit the disk cache instead
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/aslam_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

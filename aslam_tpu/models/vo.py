@@ -18,7 +18,8 @@ from aslam_tpu.models.odometry import rba_step
 
 
 class VisualOdometry:
-    def __init__(self, cfg: SystemConfig, seed: int = 0):
+    def __init__(self, cfg: SystemConfig, seed: int = 0,
+                 collect_stats: bool = True):
         self.cfg = cfg
         self.adaptive = init_adaptive_state(cfg.extractor)
         self.prev: frame_mod.FrameData | None = None
@@ -26,12 +27,15 @@ class VisualOdometry:
         self.poses: list[np.ndarray] = []
         self.timestamps: list[float] = []
         self.stats: list[dict] = []
+        # collect_stats pulls four scalars per frame (device->host sync);
+        # disable on tunneled TPUs where reads cost 30+ ms (bench.py uses
+        # the raw jitted functions directly for the same reason)
+        self.collect_stats = collect_stats
 
     def process(self, img: np.ndarray, depth: np.ndarray, t: float = 0.0) -> np.ndarray:
         """Feed one RGB-D frame; returns the estimated T_cw [4,4]."""
         f, self.adaptive = frame_mod.make_frame(
-            jnp.asarray(img, jnp.float32), jnp.asarray(depth, jnp.float32),
-            self.cfg, self.adaptive,
+            jnp.asarray(img), jnp.asarray(depth), self.cfg, self.adaptive,
         )
         if self.prev is None:
             f = frame_mod.with_pose(f, jnp.eye(4))
@@ -39,12 +43,13 @@ class VisualOdometry:
             self.key, sub = jax.random.split(self.key)
             res = rba_step(self.prev, f, sub, self.cfg)
             f = frame_mod.with_pose(f, res.T_cw2)
-            self.stats.append({
-                "n_matches": int(res.n_matches),
-                "n_inliers": int(res.n_inliers),
-                "rmse": float(res.rmse),
-                "ba_inliers": int(res.ba_inliers),
-            })
+            if self.collect_stats:
+                self.stats.append({
+                    "n_matches": int(res.n_matches),
+                    "n_inliers": int(res.n_inliers),
+                    "rmse": float(res.rmse),
+                    "ba_inliers": int(res.ba_inliers),
+                })
         self.prev = f
         T = np.asarray(f.T_cw)
         self.poses.append(T)

@@ -172,8 +172,6 @@ class ICPConfig:
     escalate_min_inliers: int = 20
     escalate_rmse: float = 0.7      # rmse*10 >= 7
     restart_rmse: float = 2.0       # rmse*10 >= 20 -> identity warm start
-    plane_epsilon: float = 1e-3     # GICP plane-covariance regularizer
-    neighbor_radius_px: int = 2     # window for projective data association
 
 
 @dataclass(frozen=True)

@@ -68,6 +68,30 @@ def _extract_impl(
     quotas = cfg.features_per_level
     scales = cfg.scale_factors
 
+    if cfg.adaptive and cfg.adaptive_iters > 1:
+        # intra-frame controller iterations (the reference's
+        # VideoDynamicAdaptedFeatureDetector retries detection up to 5x
+        # within one frame until the count lands in band,
+        # videodynamicadaptedfeaturedetector.cpp:24-44).  Counting passes
+        # are FAST-only (no NMS/descriptors) and cheap.
+        n_cells = cfg.adaptive_grid * cfg.adaptive_grid
+        for _ in range(cfg.adaptive_iters - 1):
+            counts = jnp.zeros((cfg.adaptive_grid, cfg.adaptive_grid),
+                               jnp.int32)
+            for img_l in levels:
+                h_l, w_l = img_l.shape
+                th_l = fast.threshold_map_from_grid(grid_thresholds, h_l, w_l)
+                counts = counts + fast.counts_per_grid_cell(
+                    fast.nms_3x3(fast.fast_response(img_l, th_l)),
+                    cfg.adaptive_grid, cfg.adaptive_grid)
+            grid_thresholds = fast.adaptive_threshold_update(
+                grid_thresholds, counts,
+                min_count=cfg.adaptive_min / n_cells,
+                max_count=cfg.adaptive_max / n_cells,
+                down=cfg.adaptive_down, up=cfg.adaptive_up,
+                th_min=cfg.adaptive_th_min, th_max=cfg.adaptive_th_max,
+            )
+
     all_xy, all_resp, all_valid, all_oct = [], [], [], []
     all_desc, all_angle = [], []
     total_counts = jnp.zeros(

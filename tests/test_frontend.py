@@ -235,9 +235,16 @@ def test_extractor_adaptive_state_updates():
     img = jnp.asarray(checkerboard_corner_image())
     state = ext.init_adaptive_state(cfg)
     _, s1 = ext.extract_features(img, cfg, state)
-    # few corners -> all cells tooFew -> thresholds drop by 0.7
-    np.testing.assert_allclose(np.asarray(s1.grid_thresholds),
-                               np.asarray(state.grid_thresholds) * 0.7)
+    # few corners -> all cells tooFew -> thresholds drop x0.7 per
+    # controller iteration (adaptive_iters intra-frame + 1 post-frame,
+    # videodynamicadaptedfeaturedetector.cpp:24-44), clamped at th_min
+    expected = np.maximum(
+        np.asarray(state.grid_thresholds)
+        * cfg.adaptive_down ** cfg.adaptive_iters,
+        cfg.adaptive_th_min,
+    )
+    np.testing.assert_allclose(np.asarray(s1.grid_thresholds), expected,
+                               rtol=1e-5)
 
 
 def test_extractor_repeatability_across_shift():

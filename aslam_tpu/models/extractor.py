@@ -74,16 +74,18 @@ def _extract_impl(
         # within one frame until the count lands in band,
         # videodynamicadaptedfeaturedetector.cpp:24-44).  Counting passes
         # are FAST-only (no NMS/descriptors) and cheap.
+        # counting runs on the base level only: the reference's ADAPTIVE
+        # mode wraps a single-scale detector (extractor.cpp:52-77), and
+        # level 0 carries the bulk of detections — one FAST pass per
+        # retry instead of n_levels
         n_cells = cfg.adaptive_grid * cfg.adaptive_grid
+        base = levels[0]
+        h0, w0 = base.shape
         for _ in range(cfg.adaptive_iters - 1):
-            counts = jnp.zeros((cfg.adaptive_grid, cfg.adaptive_grid),
-                               jnp.int32)
-            for img_l in levels:
-                h_l, w_l = img_l.shape
-                th_l = fast.threshold_map_from_grid(grid_thresholds, h_l, w_l)
-                counts = counts + fast.counts_per_grid_cell(
-                    fast.nms_3x3(fast.fast_response(img_l, th_l)),
-                    cfg.adaptive_grid, cfg.adaptive_grid)
+            th0 = fast.threshold_map_from_grid(grid_thresholds, h0, w0)
+            counts = fast.counts_per_grid_cell(
+                fast.nms_3x3(fast.fast_response(base, th0)),
+                cfg.adaptive_grid, cfg.adaptive_grid)
             grid_thresholds = fast.adaptive_threshold_update(
                 grid_thresholds, counts,
                 min_count=cfg.adaptive_min / n_cells,

@@ -86,6 +86,14 @@ class ExtractorConfig:
     scale_factor: float = 1.2
     fast_threshold: int = 20        # initial FAST threshold
     fast_threshold_min: int = 7     # per-cell fallback threshold
+    # detector x descriptor enum algebra (reference extractor.h:8-25):
+    # detector in {FAST, GFTT, HARRIS, DOG, HESSIAN, STAR} + aliases
+    # {ORB, ORB_SLAM2, BRISK/AGAST->FAST, SIFT->DOG, SURF->HESSIAN, ...};
+    # descriptor in {ORB, BRIEF, FREAK, LATCH, SIFT} + aliases
+    # {ORB_SLAM2->ORB, BRISK->FREAK, SURF->SIFT}.  Defaults reproduce the
+    # reference's ORB_SLAM2/ORB_SLAM2 main path (main.cpp:59).
+    detector: str = "FAST"
+    descriptor: str = "ORB"
     # grid cell size (pixels, level-local) used for spatially-uniform top-k;
     # reproduces the 30-px FAST cells + quad-tree distribution semantics
     # (orbextractor.cpp:466-746) as a bucketed top-k.

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from aslam_tpu.config import ExtractorConfig
-from aslam_tpu.ops import fast, orb, pyramid, select
+from aslam_tpu.ops import desc as desc_ops
+from aslam_tpu.ops import detectors, fast, orb, pyramid, select
 
 
 class Features(NamedTuple):
@@ -38,21 +39,39 @@ class Features(NamedTuple):
     response: jnp.ndarray  # [M] float32
     angle: jnp.ndarray     # [M] float32 radians
     octave: jnp.ndarray    # [M] int32 pyramid level
-    desc: jnp.ndarray      # [M,8] uint32 packed 256-bit rBRIEF
+    desc: jnp.ndarray      # [M,8] uint32 packed binary, or [M,128] float32
     valid: jnp.ndarray     # [M] bool
 
 
 class AdaptiveState(NamedTuple):
-    """Per-cell FAST thresholds carried across frames (the 'Video' part of
-    VideoDynamicAdaptedFeatureDetector: state persists between frames)."""
+    """Per-cell detector thresholds carried across frames (the 'Video' part
+    of VideoDynamicAdaptedFeatureDetector: state persists between frames)."""
 
     grid_thresholds: jnp.ndarray  # [gy,gx] float32
 
 
+def detector_params(cfg: ExtractorConfig) -> tuple[float, float, float]:
+    """(initial threshold, clamp min, clamp max) for cfg.detector.
+
+    FAST keeps the config's explicit FAST fields (reference initial
+    thresholds per detector family: extractor.cpp:56-63); other families use
+    their calibrated defaults from ops/detectors.py.
+    """
+    if detectors.canonical(cfg.detector) == "FAST":
+        return (
+            float(cfg.fast_threshold),
+            float(cfg.adaptive_th_min),
+            float(cfg.adaptive_th_max),
+        )
+    d = detectors.defaults(cfg.detector)
+    return d["threshold"], d["th_min"], d["th_max"]
+
+
 def init_adaptive_state(cfg: ExtractorConfig) -> AdaptiveState:
     g = cfg.adaptive_grid
+    th0, _, _ = detector_params(cfg)
     return AdaptiveState(
-        grid_thresholds=jnp.full((g, g), float(cfg.fast_threshold), jnp.float32)
+        grid_thresholds=jnp.full((g, g), th0, jnp.float32)
     )
 
 
@@ -67,6 +86,11 @@ def _extract_impl(
     levels = pyramid.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
     quotas = cfg.features_per_level
     scales = cfg.scale_factors
+    det = detectors.canonical(cfg.detector)
+    _, th_lo, th_hi = detector_params(cfg)
+
+    def response(img_l, th_map):
+        return detectors.response(det, img_l, th_map)
 
     if cfg.adaptive and cfg.adaptive_iters > 1:
         # intra-frame controller iterations (the reference's
@@ -84,14 +108,14 @@ def _extract_impl(
         for _ in range(cfg.adaptive_iters - 1):
             th0 = fast.threshold_map_from_grid(grid_thresholds, h0, w0)
             counts = fast.counts_per_grid_cell(
-                fast.nms_3x3(fast.fast_response(base, th0)),
+                fast.nms_3x3(response(base, th0)),
                 cfg.adaptive_grid, cfg.adaptive_grid)
             grid_thresholds = fast.adaptive_threshold_update(
                 grid_thresholds, counts,
                 min_count=cfg.adaptive_min / n_cells,
                 max_count=cfg.adaptive_max / n_cells,
                 down=cfg.adaptive_down, up=cfg.adaptive_up,
-                th_min=cfg.adaptive_th_min, th_max=cfg.adaptive_th_max,
+                th_min=th_lo, th_max=th_hi,
             )
 
     all_xy, all_resp, all_valid, all_oct = [], [], [], []
@@ -103,22 +127,23 @@ def _extract_impl(
     for l, img_l in enumerate(levels):
         h, w = img_l.shape
         th_map = fast.threshold_map_from_grid(grid_thresholds, h, w)
-        resp_raw = fast.fast_response(img_l, th_map)
+        resp_raw = response(img_l, th_map)
         if not cfg.adaptive:
             # static mode keeps the reference's per-cell fallback
             # (orbextractor.cpp:665-746: cells empty at threshold 20 retry
             # at 7) — cells of the detection grid with no corners get a
-            # second FAST pass at the minimum threshold
+            # second detection pass at the minimum threshold
             g = cfg.adaptive_grid
+            fallback_th = (float(cfg.fast_threshold_min)
+                           if det == "FAST" else th_lo)
             counts0 = fast.counts_per_grid_cell(resp_raw, g, g)
             weak_cells = counts0 == 0
             th_low_map = fast.threshold_map_from_grid(
-                jnp.where(weak_cells, float(cfg.fast_threshold_min),
-                          grid_thresholds), h, w)
+                jnp.where(weak_cells, fallback_th, grid_thresholds), h, w)
             weak_px = fast.threshold_map_from_grid(
                 weak_cells.astype(jnp.float32), h, w) > 0
             resp_raw = jnp.where(
-                weak_px, fast.fast_response(img_l, th_low_map), resp_raw)
+                weak_px, response(img_l, th_low_map), resp_raw)
         resp = fast.nms_3x3(resp_raw)
         # keep descriptors' patches inside the image: kill a border strip
         b = orb.PATCH_RADIUS + 1
@@ -142,7 +167,7 @@ def _extract_impl(
         xy_l = select.subpixel_refine(resp_raw, xy_l)
 
         img_blur = pyramid.gaussian_blur(img_l)
-        desc_l, angle_l = orb.describe(img_blur, xy_l)
+        desc_l, angle_l = desc_ops.describe(cfg.descriptor, img_blur, xy_l)
 
         all_xy.append(xy_l * scales[l])       # map to level-0 coords
         all_resp.append(resp_l)
@@ -189,8 +214,8 @@ def _extract_impl(
         max_count=cfg.adaptive_max / n_cells,
         down=cfg.adaptive_down,
         up=cfg.adaptive_up,
-        th_min=cfg.adaptive_th_min,
-        th_max=cfg.adaptive_th_max,
+        th_min=th_lo,
+        th_max=th_hi,
     )
     if not cfg.adaptive:
         new_grid = grid_thresholds

@@ -32,11 +32,34 @@ def signs_from_packed(words: jnp.ndarray) -> jnp.ndarray:
 
 
 def distance_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
-    """Hamming distances [Na, Nb] float32 from packed uint32 descriptors."""
-    sa = signs_from_packed(desc_a)
-    sb = signs_from_packed(desc_b)
-    dot = jnp.dot(sa, sb.T, preferred_element_type=jnp.float32)
-    return (BITS - dot) * 0.5
+    """Descriptor distances [Na, Nb] float32.
+
+    Packed uint32 descriptors -> Hamming (MXU ±1 planes); float descriptors
+    (SIFT/SURF family, ops/desc.py) -> L2, the `Extractor::mNorm` switch of
+    the reference (extractor.cpp:36) expressed as dtype dispatch.
+    """
+    if desc_a.dtype == jnp.uint32:
+        sa = signs_from_packed(desc_a)
+        sb = signs_from_packed(desc_b)
+        dot = jnp.dot(sa, sb.T, preferred_element_type=jnp.float32)
+        return (BITS - dot) * 0.5
+    return l2_distance_matrix(desc_a, desc_b)
+
+
+def l2_distance_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+    """Euclidean distances [Na, Nb] float32 for float descriptors.
+
+    |a-b|² = |a|² + |b|² - 2ab with the cross term on the MXU in f32
+    (geometry rule: no implicit bf16 for float descriptors)."""
+    a = desc_a.astype(jnp.float32)
+    b = desc_b.astype(jnp.float32)
+    cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    sq = (
+        jnp.sum(a * a, axis=1)[:, None]
+        + jnp.sum(b * b, axis=1)[None, :]
+        - 2.0 * cross
+    )
+    return jnp.sqrt(jnp.maximum(sq, 0.0))
 
 
 def distance_matrix_popcount(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:

@@ -54,7 +54,7 @@ def knn_ratio_match(
     tiles, no [Q,T] matrix in HBM); elsewhere the XLA matmul path."""
     from aslam_tpu.ops import pallas_kernels
 
-    if pallas_kernels.use_pallas():
+    if pallas_kernels.use_pallas() and desc_q.dtype == jnp.uint32:
         d1, i1, d2 = pallas_kernels.hamming_top2(
             desc_q, valid_q, desc_t, valid_t)
     else:

@@ -42,6 +42,19 @@ def build_config(args) -> SystemConfig:
         cfg = cfg.replace(use_loop_closing=True)
     elif args.mode == "slam+gicp":
         cfg = cfg.replace(use_gicp=True, use_loop_closing=True)
+    if args.detector != "FAST" or args.descriptor != "ORB":
+        from dataclasses import replace as dc_replace
+
+        from aslam_tpu.ops import desc as desc_ops
+
+        if not desc_ops.is_binary(args.descriptor) and args.mode != "vo":
+            raise SystemExit(
+                f"--descriptor {args.descriptor} is a float (L2) family; the "
+                "map/BoW schema is binary — use it with --mode vo, or pick a "
+                "binary descriptor (ORB, BRIEF, FREAK, LATCH) for SLAM modes"
+            )
+        cfg = cfg.replace(extractor=dc_replace(
+            cfg.extractor, detector=args.detector, descriptor=args.descriptor))
     return cfg
 
 
@@ -56,6 +69,12 @@ def main(argv=None):
                     help="host: step-by-step Tracking (readable reference); "
                          "device: fused slam_step with zero per-frame host "
                          "sync (production path for tunneled TPUs)")
+    ap.add_argument("--detector", default="FAST",
+                    help="FAST|GFTT|HARRIS|DOG|HESSIAN|STAR "
+                         "(+aliases ORB, SIFT, SURF, BRISK, STAR/CENSURE)")
+    ap.add_argument("--descriptor", default="ORB",
+                    help="ORB|BRIEF|FREAK|LATCH (binary, all modes) or "
+                         "SIFT/SURF (float, --mode vo only)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--checkpoint", default="",

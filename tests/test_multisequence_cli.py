@@ -100,3 +100,47 @@ def test_cli_main_runs(tmp_path, rng):
     data = np.loadtxt(str(traj))
     assert data.shape == (4, 8)
     assert (out_dir / "metrics.json").exists()
+
+
+@pytest.mark.skipif(not _have_pil(), reason="needs PIL to write PNGs")
+def test_cli_detector_descriptor_flags(tmp_path, rng):
+    """--detector/--descriptor select alternate families (reference
+    extractor enum, main.cpp:59); float descriptors are vo-only."""
+    from PIL import Image
+
+    from aslam_tpu import main as cli
+
+    cfg = small_config()
+    pts = synthetic.random_scene(rng, 400)
+    tex = synthetic.point_textures(400, seed=3)
+    poses = synthetic.camera_trajectory(3, rng=rng)
+
+    (tmp_path / "rgb").mkdir()
+    (tmp_path / "depth").mkdir()
+    lines = []
+    for i, T in enumerate(poses):
+        t = 100.0 + i * 0.033
+        img = synthetic.render_intensity_image(cfg.camera, T, pts, tex)
+        dep = synthetic.render_depth_image(cfg.camera, T, pts, splat=4)
+        Image.fromarray(img.astype(np.uint8)).save(
+            tmp_path / "rgb" / f"{t:.6f}.png")
+        Image.fromarray((dep / cfg.camera.depth_factor).astype(np.uint16)).save(
+            tmp_path / "depth" / f"{t:.6f}.png")
+        lines.append(f"{t:.6f} rgb/{t:.6f}.png {t:.6f} depth/{t:.6f}.png")
+    (tmp_path / "associations.txt").write_text("\n".join(lines) + "\n")
+
+    out_dir = tmp_path / "out"
+    cli.CAMERAS["test"] = cfg.camera
+    cli.main([
+        "--dataset", str(tmp_path), "--camera", "test", "--mode", "vo",
+        "--detector", "GFTT", "--descriptor", "BRIEF",
+        "--out-dir", str(out_dir), "--max-frames", "3",
+    ])
+    assert (out_dir / "CameraTrajectory.txt").exists()
+
+    # float descriptor + slam mode must be rejected with a clear message
+    with pytest.raises(SystemExit, match="binary"):
+        cli.main([
+            "--dataset", str(tmp_path), "--camera", "test", "--mode", "slam",
+            "--descriptor", "SIFT", "--out-dir", str(out_dir),
+        ])

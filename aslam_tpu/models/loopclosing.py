@@ -257,50 +257,87 @@ class LoopClosing:
     re-acquires its pose via BoW-guided matching + 3D-3D RANSAC against
     the best candidate keyframes."""
 
+    # cap on descriptors fed to hierarchical k-medians (host-side training
+    # stays bounded as the map grows; subsampled uniformly)
+    TRAIN_CAP = 20_000
+
     def __init__(self, cfg: SystemConfig, train_after_kfs: int = 4,
-                 vocab_path: str = ""):
+                 vocab_path: str = "", refresh_factor: float = 4.0):
         self.cfg = cfg
         self.db = init_database(cfg)
         self.vocab: bow.Vocabulary | None = None
         if vocab_path:
             self.vocab = bow.load_vocabulary(vocab_path)
         self.train_after = train_after_kfs
+        # incremental refresh: retrain once the map has refresh_factor x
+        # more KFs than the vocabulary was trained on (long multi-sequence
+        # sessions drift away from the early-KF descriptor distribution);
+        # <= 1 disables.  A loaded (shipped) vocabulary is never refreshed.
+        self.refresh_factor = refresh_factor
+        self.trained_on_kfs = -1 if self.vocab is None else 10**9
         self.last_loop_kf_id = -(10**9)
         self.key = jax.random.PRNGKey(123)
         self.loops: list[tuple[int, int]] = []
 
-    def _maybe_train_vocab(self, m: ms.MapState):
-        if self.vocab is not None:
-            return
+    def _train(self, m: ms.MapState) -> bool:
+        """(Re)train the vocabulary from the current map and rebuild the
+        database under the new word space.  Returns True on success."""
         valid = np.asarray(m.kf_valid)
-        if valid.sum() < self.train_after:
-            return
         desc = np.asarray(m.kf_desc)[valid]
         ok = np.asarray(m.kf_kp_valid)[valid]
         train = desc[ok]
         if len(train) < 100:
-            return
+            return False
+        if len(train) > self.TRAIN_CAP:
+            sel = np.random.default_rng(0).choice(
+                len(train), self.TRAIN_CAP, replace=False)
+            train = train[sel]
         self.vocab = bow.train_vocabulary(
             train, branching=self.cfg.loop.vocab_branching,
             depth=self.cfg.loop.vocab_depth,
         )
-        # backfill all existing keyframes into the database
+        self.trained_on_kfs = int(valid.sum())
+        # rebuild: every valid keyframe re-enters under the new vocabulary
+        self.db = init_database(self.cfg)
         for slot in np.nonzero(valid)[0]:
             self.db = add_keyframe(
                 self.db, self.vocab, m.kf_desc[slot], m.kf_kp_valid[slot],
                 jnp.int32(slot),
             )
+        return True
+
+    def _maybe_train_vocab(self, m: ms.MapState):
+        if self.vocab is not None:
+            return
+        if int(np.asarray(m.kf_valid).sum()) < self.train_after:
+            return
+        self._train(m)
+
+    def maybe_refresh(self, m: ms.MapState) -> bool:
+        """Incremental vocabulary refresh: retrain + database rebuild when
+        the map has outgrown the training set (ROADMAP item: long
+        multi-sequence sessions).  Returns True if a refresh happened."""
+        if self.vocab is None or self.refresh_factor <= 1.0:
+            return False
+        n_now = int(np.asarray(m.kf_valid).sum())
+        if n_now < self.refresh_factor * max(self.trained_on_kfs, 1):
+            return False
+        return self._train(m)
 
     def process_keyframe(self, m: ms.MapState, slot: int, kf_id: int) -> ms.MapState:
         cfg = self.cfg
         self._maybe_train_vocab(m)
         if self.vocab is None:
             return m
+        refreshed = self.maybe_refresh(m)
         slot_j = jnp.int32(slot)
-        self.db = add_keyframe(
-            self.db, self.vocab, m.kf_desc[slot_j], m.kf_kp_valid[slot_j],
-            slot_j,
-        )
+        if not refreshed:
+            # on refresh the rebuild already re-added every valid KF,
+            # including this one
+            self.db = add_keyframe(
+                self.db, self.vocab, m.kf_desc[slot_j], m.kf_kp_valid[slot_j],
+                slot_j,
+            )
         if kf_id - self.last_loop_kf_id < cfg.loop.min_kf_gap:
             return m
         gap_ok = (jnp.int32(kf_id) - m.kf_id) >= cfg.loop.min_kf_gap

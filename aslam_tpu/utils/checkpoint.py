@@ -54,6 +54,9 @@ def save_system(path_prefix: str, slam) -> None:
         "state": t.state,
         "last_loop_kf_id": getattr(slam.loop_closing, "last_loop_kf_id", None)
         if slam.loop_closing else None,
+        "vocab_trained_on_kfs": getattr(
+            slam.loop_closing, "trained_on_kfs", None)
+        if slam.loop_closing else None,
     })
     lc = slam.loop_closing
     if lc is not None and lc.vocab is not None:
@@ -109,3 +112,5 @@ def load_system(path_prefix: str, slam) -> None:
             })
         if counters.get("last_loop_kf_id") is not None:
             lc.last_loop_kf_id = counters["last_loop_kf_id"]
+        if counters.get("vocab_trained_on_kfs") is not None:
+            lc.trained_on_kfs = counters["vocab_trained_on_kfs"]

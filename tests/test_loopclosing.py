@@ -150,3 +150,44 @@ def test_no_loop_without_revisit(rng):
     for k in range(n_kfs // 2):
         m = lc.process_keyframe(m, k, k)
     assert len(lc.loops) == 0
+
+
+def test_vocabulary_refresh_on_map_growth(rng):
+    """Incremental vocabulary refresh: when the map outgrows the training
+    set (refresh_factor x), the vocabulary retrains and the database is
+    rebuilt under the new word space — and loops still close."""
+    cfg, m, T_true, T_est, drift, n_kfs = build_looped_map(rng)
+    lc = LoopClosing(cfg, train_after_kfs=4, refresh_factor=2.0)
+    K = m.kf_valid.shape[0]
+    vocabs = []
+    for k in range(n_kfs):
+        # growing view of the map: KFs arrive one at a time
+        m_k = m._replace(kf_valid=m.kf_valid & (jnp.arange(K) <= k))
+        lc.process_keyframe(m_k, k, k)
+        if lc.vocab is not None and (not vocabs or vocabs[-1] is not lc.vocab):
+            vocabs.append(lc.vocab)
+    # trained at 4 KFs, refreshed at >= 8 (factor 2)
+    assert len(vocabs) >= 2, "no refresh happened"
+    assert lc.trained_on_kfs >= 8
+    # database rebuilt consistently: every valid KF queryable
+    assert np.asarray(lc.db.kf_in_db)[:n_kfs].all()
+    # loop closing still works across the refresh
+    assert len(lc.loops) >= 1
+
+
+def test_no_refresh_for_shipped_vocab(rng, tmp_path):
+    """A vocabulary loaded from disk (shipped artifact) is never retrained."""
+    from aslam_tpu.ops import bow
+
+    cfg, m, *_ = build_looped_map(rng)
+    descs = np.random.default_rng(0).integers(
+        0, 2**32, (500, 8), dtype=np.uint32)
+    v = bow.train_vocabulary(descs, branching=cfg.loop.vocab_branching,
+                             depth=cfg.loop.vocab_depth)
+    bow.save_vocabulary(str(tmp_path / "voc.npz"), v)
+    lc = LoopClosing(cfg, vocab_path=str(tmp_path / "voc.npz"),
+                     refresh_factor=2.0)
+    v0 = lc.vocab
+    for k in range(10):
+        m = lc.process_keyframe(m, k, k)
+    assert lc.vocab is v0

@@ -83,6 +83,12 @@ def main(argv=None):
     ap.add_argument("--render-map", action="store_true")
     ap.add_argument("--export-cloud", action="store_true",
                     help="fuse depth maps into results/map.ply")
+    ap.add_argument("--viewer", type=int, default=-1, metavar="PORT",
+                    help="serve a live web map viewer on this port "
+                         "(0 = auto-pick); replaces the Pangolin thread")
+    ap.add_argument("--viewer-every", type=int, default=10,
+                    help="publish a snapshot every N frames (one device "
+                         "read per publish)")
     args = ap.parse_args(argv)
 
     from aslam_tpu.utils.dataset import TumSequence
@@ -133,12 +139,25 @@ def main(argv=None):
         slam = SlamSystem(cfg)
         if args.resume:
             ckpt.load_system(args.resume, slam)
+        viewer = None
+        if args.viewer >= 0:
+            from aslam_tpu.utils.viewer import hud_counters
+            from aslam_tpu.utils.webviewer import WebViewer
+
+            viewer = WebViewer(port=args.viewer)
+            print(f"live viewer: {viewer.url}", flush=True)
         t0 = time.time()
         for i in range(n):
             t, img, depth = seq[i]
             with metrics.timer("track"):
                 slam.process(img, depth, t)
             metrics.count("frames")
+            if viewer is not None and i % max(args.viewer_every, 1) == 0:
+                viewer.update(
+                    slam.tracking.map,
+                    traj=np.stack(slam.tracking.poses),
+                    stats=dict(hud_counters(slam), frame=i),
+                )
             if i % 50 == 0:
                 mean_ms = 1e3 * (time.time() - t0) / max(i, 1)
                 print(f"[{i}/{n}] mean {mean_ms:.1f} ms/frame", flush=True)

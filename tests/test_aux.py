@@ -194,3 +194,51 @@ def test_dbscan_chain_merge(rng):
         jnp.asarray(pts), jnp.ones(len(pts), bool), eps=6.0, min_pts=3))
     assert (labels >= 0).all()
     assert len(np.unique(labels)) == 1, "chained clusters failed to merge"
+
+
+def test_web_viewer_serves_state():
+    """Live web viewer (Pangolin replacement): HTML page + JSON state."""
+    import json
+    import urllib.request
+
+    import jax.numpy as jnp
+
+    from aslam_tpu.config import small_config
+    from aslam_tpu.models import mapstate as ms
+    from aslam_tpu.utils.webviewer import WebViewer
+
+    cfg = small_config()
+    m = ms.init_map(cfg)
+    m = m._replace(
+        kf_T_cw=m.kf_T_cw.at[0].set(jnp.eye(4)),
+        kf_valid=m.kf_valid.at[0].set(True),
+        lm_pos=m.lm_pos.at[:3].set(jnp.asarray([[0., 0., 2.], [1., 0., 2.],
+                                                [0., 1., 3.]])),
+        lm_valid=m.lm_valid.at[:3].set(True),
+    )
+    v = WebViewer(port=0)
+    try:
+        v.update(m, traj=np.eye(4)[None], stats={"keyframes": 1, "fps": 123.4})
+        page = urllib.request.urlopen(v.url, timeout=10).read().decode()
+        assert "aslam_tpu live map" in page
+        st = json.loads(urllib.request.urlopen(
+            v.url + "state", timeout=10).read())
+        assert len(st["landmarks"]) == 3
+        assert len(st["kfs"]) == 1
+        assert st["stats"]["keyframes"] == 1
+        assert st["seq"] >= 1
+        # 404 for unknown path
+        import urllib.error
+        try:
+            urllib.request.urlopen(v.url + "nope", timeout=10)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        # second update bumps seq
+        v.update(stats={"keyframes": 2})
+        st2 = json.loads(urllib.request.urlopen(
+            v.url + "state", timeout=10).read())
+        assert st2["seq"] == st["seq"] + 1
+        assert st2["landmarks"] == st["landmarks"]  # retained
+    finally:
+        v.stop()

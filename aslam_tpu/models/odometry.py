@@ -164,3 +164,32 @@ def rba_step(
         rmse=res.rmse,
         ba_inliers=ba_res.n_inliers,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def track_frame(
+    prev: FrameData,
+    img: jnp.ndarray,
+    depth_map: jnp.ndarray,
+    grid_thresholds: jnp.ndarray,
+    key: jnp.ndarray,
+    cfg: SystemConfig,
+    height: int,
+    width: int,
+):
+    """Fused per-frame VO step: extraction + ADAPTIVE_RBA odometry as ONE
+    device program -> (posed FrameData, new grid thresholds, OdometryResult).
+
+    Halves the dispatches per frame vs make_frame + rba_step.  On a
+    tunneled TPU each dispatch costs 0.3-0.6 ms of relay latency while the
+    stage compute is microseconds (scripts/profile_track.py), so dispatch
+    count — not FLOPs — sets the frame rate; on direct-attached hardware
+    the fusion still saves one host round-trip and lets XLA overlap
+    extraction with the matching of the previous stage.
+    """
+    from aslam_tpu.models import frame as frame_mod
+
+    f, new_grid = frame_mod._make_frame_impl(
+        img, depth_map, grid_thresholds, cfg, height, width)
+    res = rba_step(prev, f, key, cfg)
+    return f._replace(T_cw=res.T_cw2), new_grid, res

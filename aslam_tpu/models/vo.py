@@ -14,7 +14,7 @@ import numpy as np
 from aslam_tpu.config import SystemConfig
 from aslam_tpu.models import frame as frame_mod
 from aslam_tpu.models.extractor import init_adaptive_state
-from aslam_tpu.models.odometry import rba_step
+from aslam_tpu.models.odometry import track_frame
 
 
 class VisualOdometry:
@@ -34,15 +34,20 @@ class VisualOdometry:
 
     def process(self, img: np.ndarray, depth: np.ndarray, t: float = 0.0) -> np.ndarray:
         """Feed one RGB-D frame; returns the estimated T_cw [4,4]."""
-        f, self.adaptive = frame_mod.make_frame(
-            jnp.asarray(img), jnp.asarray(depth), self.cfg, self.adaptive,
-        )
         if self.prev is None:
+            f, self.adaptive = frame_mod.make_frame(
+                jnp.asarray(img), jnp.asarray(depth), self.cfg, self.adaptive,
+            )
             f = frame_mod.with_pose(f, jnp.eye(4))
         else:
+            # fused extraction+odometry: one device dispatch per frame
             self.key, sub = jax.random.split(self.key)
-            res = rba_step(self.prev, f, sub, self.cfg)
-            f = frame_mod.with_pose(f, res.T_cw2)
+            h, w = img.shape[:2]
+            f, new_grid, res = track_frame(
+                self.prev, jnp.asarray(img), jnp.asarray(depth),
+                self.adaptive.grid_thresholds, sub, self.cfg, h, w,
+            )
+            self.adaptive = self.adaptive._replace(grid_thresholds=new_grid)
             if self.collect_stats:
                 self.stats.append({
                     "n_matches": int(res.n_matches),

@@ -35,7 +35,7 @@ def main():
     from aslam_tpu.config import SystemConfig, CameraModel
     from aslam_tpu.models import frame as frame_mod
     from aslam_tpu.models.extractor import init_adaptive_state
-    from aslam_tpu.models.odometry import rba_step
+    from aslam_tpu.models.odometry import rba_step, track_frame
     from aslam_tpu.utils import synthetic
 
     log("devices:", jax.devices())
@@ -62,15 +62,16 @@ def main():
     state = init_adaptive_state(cfg.extractor)
     keys = jax.random.split(jax.random.PRNGKey(0), 4 * n_frames)
 
-    # warmup: compile make_frame + rba_step
+    # warmup: compile make_frame (first frame) + fused track_frame
     log("compiling...")
     t0 = time.time()
     f_prev, state = frame_mod.make_frame(
         jnp.asarray(imgs_u8[0]), jnp.asarray(depths_u16[0]), cfg, state)
     f_prev = frame_mod.with_pose(f_prev, jnp.eye(4))
-    f1, state = frame_mod.make_frame(
-        jnp.asarray(imgs_u8[1]), jnp.asarray(depths_u16[1]), cfg, state)
-    res = rba_step(f_prev, f1, keys[0], cfg)
+    f1, grid, res = track_frame(
+        f_prev, jnp.asarray(imgs_u8[1]), jnp.asarray(depths_u16[1]),
+        state.grid_thresholds, keys[0], cfg, cam.height, cam.width)
+    state = state._replace(grid_thresholds=grid)
     jax.block_until_ready(res.T_cw2)
     log(f"compile+warmup {time.time() - t0:.1f}s")
 
@@ -88,10 +89,12 @@ def main():
         prev = f_prev
         n_timed = 0
         for i in range(rep * n_frames + 1, rep * n_frames + n_frames):
-            f, state = frame_mod.make_frame(
-                jnp.asarray(imgs_u8[i]), jnp.asarray(depths_u16[i]), cfg, state)
-            res = rba_step(prev, f, keys[i], cfg)
-            prev = frame_mod.with_pose(f, res.T_cw2)
+            # fused extraction+odometry: ONE dispatch per frame (dispatch
+            # latency, not device FLOPs, bounds the rate on tunneled TPUs)
+            prev, grid, res = track_frame(
+                prev, jnp.asarray(imgs_u8[i]), jnp.asarray(depths_u16[i]),
+                state.grid_thresholds, keys[i], cfg, cam.height, cam.width)
+            state = state._replace(grid_thresholds=grid)
             pose_buf.append(res.T_cw2)
             # per-frame completion barrier (no data transfer) — real-time
             # semantics without paying the relay's d2h read tax in-loop

@@ -76,6 +76,11 @@ def main(argv=None):
                     help="ORB|BRIEF|FREAK|LATCH (binary, all modes) or "
                          "SIFT/SURF (float, --mode vo only)")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="frames per device dispatch (device engine only): "
+                         "chunks are lax.scan-chained on device (slam_scan),"
+                         " equivalent to streaming but amortizing "
+                         "dispatch latency chunk-fold")
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--checkpoint", default="",
                     help="save map checkpoint here at the end")
@@ -121,11 +126,30 @@ def main(argv=None):
 
         slam = DeviceSlam(cfg)
         t0 = time.time()
-        for i in range(n):
-            t, img, depth = seq[i]
-            with metrics.timer("track"):
-                slam.process(img, depth, t)
-            metrics.count("frames")
+        if args.chunk > 1:
+            lo = 0
+            while lo < n:
+                hi = min(lo + args.chunk, n)
+                if hi - lo < args.chunk:
+                    # tail shorter than the compiled scan length: stream it
+                    for i in range(lo, hi):
+                        t, img, depth = seq[i]
+                        with metrics.timer("track"):
+                            slam.process(img, depth, t)
+                        metrics.count("frames")
+                else:
+                    ts, imgs, depths = zip(*(seq[i] for i in range(lo, hi)))
+                    with metrics.timer("track"):
+                        slam.process_chunk(np.stack(imgs), np.stack(depths),
+                                           list(ts))
+                    metrics.count("frames", hi - lo)
+                lo = hi
+        else:
+            for i in range(n):
+                t, img, depth = seq[i]
+                with metrics.timer("track"):
+                    slam.process(img, depth, t)
+                metrics.count("frames")
         traj, stats = slam.finish()
         save_tum_trajectory(
             os.path.join(args.out_dir, "CameraTrajectory.txt"),

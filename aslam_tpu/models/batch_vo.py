@@ -39,6 +39,25 @@ def batch_rba(frames_prev, frames_cur, keys, cfg: SystemConfig):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def batch_track_sequence(prev_frames, imgs, depths, grids, keys,
+                         cfg: SystemConfig, height, width):
+    """vmap x scan: B sequences x T frames in ONE device program.
+
+    imgs/depths [B,T,H,W], keys [B,T,2], prev_frames a batched FrameData,
+    grids [B,g,g].  Composes the two throughput axes — the sequence batch
+    (data parallelism) and the frame chain (dispatch amortization,
+    models/odometry.track_sequence) — so a whole recording fleet's chunk
+    runs per dispatch.  Returns (last frames, grids, SequenceResult with
+    leading [B,T] axes)."""
+    from aslam_tpu.models.odometry import track_sequence
+
+    return jax.vmap(
+        lambda f, im, de, g, k: track_sequence(
+            f, im, de, g, k, cfg, height, width)
+    )(prev_frames, imgs, depths, grids, keys)
+
+
 class BatchVisualOdometry:
     """Track B sequences in lockstep; poses accumulate on device."""
 
@@ -69,6 +88,44 @@ class BatchVisualOdometry:
         self.prev = frames
         return frames.T_cw
 
+    def process_chunk(self, imgs: np.ndarray, depths: np.ndarray):
+        """imgs/depths: [B,T,H,W] — the whole chunk in one dispatch
+        (vmap x scan).  Same PRNG recurrence as T `process` calls
+        (chained split -> per-batch split, reproduced on device by
+        `_chunk_keys`); trajectories agree to sub-cm with the streaming
+        path (bitwise equality is not guaranteed across differently-fused
+        XLA programs — see test_batch_vo)."""
+        start = 0
+        if self.prev is None:
+            self.process(imgs[:, 0], depths[:, 0])
+            start = 1
+        T = imgs.shape[1] - start
+        if T <= 0:
+            return self.prev.T_cw
+        h, w = imgs.shape[2:]
+        self.key, keys = _chunk_keys(self.key, T, self.batch)
+        last, self.grids, seq = batch_track_sequence(
+            self.prev, jnp.asarray(imgs[:, start:]),
+            jnp.asarray(depths[:, start:]), self.grids,
+            jnp.swapaxes(keys, 0, 1), self.cfg, h, w)
+        self.prev = last
+        Ts = jnp.swapaxes(seq.T_cw, 0, 1)  # [T,B,4,4]
+        self.pose_buf.extend(Ts[t] for t in range(T))
+        return last.T_cw
+
     def trajectories(self) -> np.ndarray:
         """[F-1, B, 4, 4] pose chain (one batched readback)."""
         return np.stack(jax.device_get(self.pose_buf))
+
+
+@functools.partial(jax.jit, static_argnames=("T", "B"))
+def _chunk_keys(key, T: int, B: int):
+    """The streaming wrapper's per-frame key recurrence
+    (key,sub = split(key); frame_keys = split(sub, B)) unrolled on device:
+    returns (key', [T,B,2] keys)."""
+
+    def step(k, _):
+        k, sub = jax.random.split(k)
+        return k, jax.random.split(sub, B)
+
+    return jax.lax.scan(step, key, None, length=T)

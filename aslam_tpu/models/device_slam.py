@@ -144,6 +144,42 @@ def slam_step(
     return new_state, frame.T_cw, stats
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def slam_scan(
+    state: SlamState,
+    key: jnp.ndarray,
+    imgs: jnp.ndarray,    # [T,H,W]
+    depths: jnp.ndarray,  # [T,H,W]
+    cfg: SystemConfig,
+    height: int,
+    width: int,
+):
+    """Chained multi-frame SLAM: `lax.scan` of `slam_step` over a frame
+    chunk — ONE device program per chunk instead of one per frame.
+
+    The PRNG key is carried through the scan with the same
+    `split(key) -> (key, sub)` recurrence the streaming wrapper uses, so a
+    chunked run matches the frame-by-frame path given the same starting
+    key (test-enforced; agreement is exact up to cross-program
+    floating-point reassociation — see test_batch_vo for the mechanism).  Dispatch latency, not device compute,
+    bounds the streaming rate (docs/PERF.md), so chunking amortizes it
+    chunk-length-fold for recorded-sequence / serving workloads.
+
+    Returns (state', key', T_cw [T,4,4], stats [T,8]).
+    """
+
+    def step(carry, xs):
+        st, k = carry
+        img, depth = xs
+        k, sub = jax.random.split(k)
+        st, T, stats = slam_step(st, img, depth, sub, cfg, height, width)
+        return (st, k), (T, stats)
+
+    (state, key), (Ts, stats) = jax.lax.scan(
+        step, (state, key), (imgs, depths))
+    return state, key, Ts, stats
+
+
 class DeviceSlam:
     """Host wrapper: streams frames into `slam_step`, accumulates poses on
     device, and runs the mapping refinements ("LocalMapping thread") at a
@@ -180,6 +216,34 @@ class DeviceSlam:
         self.timestamps.append(t)
         self.n_processed += 1
         if self.n_processed % self.sync_every == 0:
+            self._background_mapping()
+
+    def process_chunk(self, imgs: np.ndarray, depths: np.ndarray,
+                      ts=None):
+        """Feed a chunk of frames through `slam_scan` (one dispatch).
+        Bit-identical to calling `process` per frame, minus the
+        per-frame mapping-cadence checks (mapping runs once per chunk)."""
+        n = len(imgs)
+        if ts is None:
+            ts = [0.0] * n
+        start = 0
+        if self.state is None:
+            self.process(np.asarray(imgs[0]), np.asarray(depths[0]), ts[0])
+            start = 1
+        if start >= n:
+            return
+        h, w = np.asarray(imgs[0]).shape
+        self.state, self.key, Ts, stats = slam_scan(
+            self.state, self.key, jnp.asarray(imgs[start:]),
+            jnp.asarray(depths[start:]), self.cfg, h, w)
+        self.pose_buf.extend(Ts[i] for i in range(n - start))
+        self.stats_buf.extend(stats[i] for i in range(n - start))
+        self.timestamps.extend(ts[start:])
+        before = self.n_processed
+        self.n_processed += n - start
+        # same cadence as streaming: map when a sync boundary was crossed
+        # (at chunk end rather than mid-chunk)
+        if self.n_processed // self.sync_every != before // self.sync_every:
             self._background_mapping()
 
     def _background_mapping(self):

@@ -193,3 +193,51 @@ def track_frame(
         img, depth_map, grid_thresholds, cfg, height, width)
     res = rba_step(prev, f, key, cfg)
     return f._replace(T_cw=res.T_cw2), new_grid, res
+
+
+class SequenceResult(NamedTuple):
+    T_cw: jnp.ndarray        # [T,4,4] estimated pose per frame
+    n_matches: jnp.ndarray   # [T] int32
+    n_inliers: jnp.ndarray   # [T] int32
+    rmse: jnp.ndarray        # [T] float32
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def track_sequence(
+    prev: FrameData,
+    imgs: jnp.ndarray,       # [T,H,W] uint8 (or float gray)
+    depths: jnp.ndarray,     # [T,H,W] uint16 counts (or float metres)
+    grid_thresholds: jnp.ndarray,
+    keys: jnp.ndarray,       # [T,2] PRNG keys
+    cfg: SystemConfig,
+    height: int,
+    width: int,
+):
+    """Chained multi-frame VO: `lax.scan` of `track_frame` over a frame
+    chunk — ONE device program (one dispatch) for the whole chunk.
+
+    Per-frame dispatch latency, not device FLOPs, bounds the tracked rate
+    (scripts/profile_track.py: stage compute is microseconds while each
+    dispatch costs 0.3-0.6 ms through the relay); chaining T frames per
+    dispatch amortizes that cost T-fold.  Exactly equivalent to calling
+    `track_frame` frame-by-frame (same carry: previous FrameData +
+    adaptive grid thresholds) — the streaming path stays available for
+    sensor-driven real-time use; this is the recorded-sequence / serving
+    path (the reference driver also consumes a recorded dataset,
+    main.cpp:93-102).
+
+    Returns (last FrameData, final grid thresholds, SequenceResult).
+    """
+
+    def step(carry, xs):
+        prev_f, grid = carry
+        img, depth, key = xs
+        f, new_grid, res = track_frame(
+            prev_f, img, depth, grid, key, cfg, height, width)
+        out = SequenceResult(T_cw=res.T_cw2, n_matches=res.n_matches,
+                             n_inliers=res.n_inliers, rmse=res.rmse)
+        return (f, new_grid), out
+
+    (last, grid), ys = jax.lax.scan(
+        step, (prev, grid_thresholds), (imgs, depths, keys))
+    return last, grid, ys

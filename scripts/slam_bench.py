@@ -17,7 +17,8 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--frames", type=int, default=65)
+    ap.add_argument("--chunk", type=int, default=16)
     args = ap.parse_args()
 
     import jax
@@ -50,8 +51,32 @@ def main():
         jax.block_until_ready(slam.state.last_frame.T_cw)
     dt = time.time() - t0
     n = args.frames - 2
-    print(f"slam tracking: {n} frames in {dt:.3f}s -> {n/dt:.1f} fps",
-          flush=True)
+    print(f"slam tracking (stream, 1 dispatch/frame): {n} frames in "
+          f"{dt:.3f}s -> {n/dt:.1f} fps", flush=True)
+
+    # chunked: lax.scan of slam_step, one dispatch per chunk (device_slam.
+    # slam_scan; bit-identical to streaming, test-enforced)
+    chunk = args.chunk
+    slam2 = DeviceSlam(cfg, sync_every=10**9)
+    t0 = time.time()
+    # warmup scans `chunk` frames (frame 0 is the init step) so the timed
+    # chunks reuse the same compiled scan length
+    slam2.process_chunk(imgs_u8[:chunk + 1], depths_u16[:chunk + 1])
+    jax.block_until_ready(slam2.state.last_frame.T_cw)
+    print(f"chunked compile+warmup {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    n = 0
+    for lo in range(chunk + 1, args.frames - chunk + 1, chunk):
+        hi = min(lo + chunk, args.frames)
+        if hi - lo < 2:
+            break
+        slam2.process_chunk(imgs_u8[lo:hi], depths_u16[lo:hi])
+        jax.block_until_ready(slam2.state.last_frame.T_cw)
+        n += hi - lo
+    if n:
+        dt = time.time() - t0
+        print(f"slam tracking (chunked, {chunk} frames/dispatch): {n} "
+              f"frames in {dt:.3f}s -> {n/dt:.1f} fps", flush=True)
 
     # scalar readback under a watchdog (the relay's d2h path can hang)
     import os, sys, threading

@@ -37,3 +37,34 @@ def test_batch_vo_matches_single_runs():
         ])
         ate = trajectory.ate_rmse(est_centers, gt_centers)
         assert ate < 0.02, f"seq {b}: ATE {ate:.4f}"
+
+
+def test_batch_chunk_matches_streaming():
+    """process_chunk (vmap x scan, one dispatch) reproduces the
+    frame-by-frame batched path: same PRNG recurrence, same detections.
+    Poses agree to trajectory level rather than bitwise — the two compiled
+    programs reassociate the IC-angle reduction differently (~1e-6 rad),
+    which can flip individual rBRIEF bits and hence single match pairs."""
+    cfg = small_config()
+    B, F = 2, 5
+    seqs = [synthetic.make_sequence(n_frames=F, n_points=400, seed=20 + b)
+            for b in range(B)]
+    imgs = np.stack([seqs[b][0] for b in range(B)])    # [B,F,H,W]
+    deps = np.stack([seqs[b][1] for b in range(B)])
+
+    stream = BatchVisualOdometry(cfg, batch=B, seed=1)
+    for f in range(F):
+        stream.process(imgs[:, f], deps[:, f])
+    traj_s = stream.trajectories()
+
+    chunked = BatchVisualOdometry(cfg, batch=B, seed=1)
+    chunked.process_chunk(imgs[:, :3], deps[:, :3])
+    chunked.process_chunk(imgs[:, 3:], deps[:, 3:])
+    traj_c = chunked.trajectories()
+
+    # rotation entries are dimensionless (0.01 ~ 0.6 deg), translations in
+    # metres on ~2-5 cm frame steps
+    np.testing.assert_allclose(traj_c, traj_s, rtol=0, atol=0.01)
+    # detection is unaffected by the angle reassociation: thresholds exact
+    np.testing.assert_allclose(np.asarray(chunked.grids),
+                               np.asarray(stream.grids), rtol=0, atol=0)

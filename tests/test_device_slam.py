@@ -38,3 +38,42 @@ def test_device_slam_tracks():
     assert ate < 0.03, f"ATE {ate:.4f} m"
     # local mapping ran over all inserted KFs
     assert slam.kfs_mapped == int(slam.state.n_kfs)
+
+
+def test_slam_scan_matches_streaming():
+    """`process_chunk` (lax.scan of slam_step, one dispatch per chunk) must
+    reproduce the frame-by-frame streaming path exactly: same PRNG
+    recurrence, same poses, same stats, same map."""
+    cfg = small_config()
+    rng = np.random.default_rng(9)
+    pts = synthetic.random_scene(rng, 450)
+    poses = synthetic.camera_trajectory(8, step_t=0.05, step_r=0.02, rng=rng)
+    tex = synthetic.point_textures(450, seed=2)
+    imgs = np.stack([
+        synthetic.render_intensity_image(cfg.camera, T, pts, tex) for T in poses
+    ])
+    depths = np.stack([
+        synthetic.render_depth_image(cfg.camera, T, pts, splat=4) for T in poses
+    ])
+
+    # mapping cadence off in both (it would run at different frame indices)
+    stream = DeviceSlam(cfg, seed=3, sync_every=10_000)
+    for i in range(8):
+        stream.process(imgs[i], depths[i], t=i * 0.033)
+    traj_s, stats_s = stream.finish()
+
+    chunked = DeviceSlam(cfg, seed=3, sync_every=10_000)
+    chunked.process_chunk(imgs[:5], depths[:5], ts=[i * 0.033 for i in range(5)])
+    chunked.process_chunk(imgs[5:], depths[5:],
+                          ts=[i * 0.033 for i in range(5, 8)])
+    traj_c, stats_c = chunked.finish()
+
+    # trajectory-level agreement: bitwise equality is not guaranteed across
+    # differently-fused XLA programs (IC-angle reassociation can flip
+    # single rBRIEF bits / match pairs — see test_batch_vo)
+    np.testing.assert_allclose(traj_c, traj_s, rtol=0, atol=0.01)
+    np.testing.assert_allclose(stats_c, stats_s, rtol=0.05, atol=5.0)
+    assert int(chunked.state.n_kfs) == int(stream.state.n_kfs)
+    np.testing.assert_allclose(np.asarray(chunked.state.m.kf_valid),
+                               np.asarray(stream.state.m.kf_valid))
+    assert chunked.timestamps == stream.timestamps

@@ -144,3 +144,46 @@ def test_cli_detector_descriptor_flags(tmp_path, rng):
             "--dataset", str(tmp_path), "--camera", "test", "--mode", "slam",
             "--descriptor", "SIFT", "--out-dir", str(out_dir),
         ])
+
+
+@pytest.mark.skipif(not _have_pil(), reason="needs PIL to write PNGs")
+def test_cli_device_engine_chunked(tmp_path, rng):
+    """--engine device --chunk N: scan-chained device stepper through the
+    CLI, including the shorter-than-chunk tail (streamed)."""
+    from PIL import Image
+
+    from aslam_tpu import main as cli
+
+    cfg = small_config()
+    pts = synthetic.random_scene(rng, 400)
+    tex = synthetic.point_textures(400, seed=6)
+    poses = synthetic.camera_trajectory(7, rng=rng)
+
+    (tmp_path / "rgb").mkdir()
+    (tmp_path / "depth").mkdir()
+    lines = []
+    for i, T in enumerate(poses):
+        t = 100.0 + i * 0.033
+        img = synthetic.render_intensity_image(cfg.camera, T, pts, tex)
+        dep = synthetic.render_depth_image(cfg.camera, T, pts, splat=4)
+        Image.fromarray(img.astype(np.uint8)).save(
+            tmp_path / "rgb" / f"{t:.6f}.png")
+        Image.fromarray((dep / cfg.camera.depth_factor).astype(np.uint16)).save(
+            tmp_path / "depth" / f"{t:.6f}.png")
+        lines.append(f"{t:.6f} rgb/{t:.6f}.png {t:.6f} depth/{t:.6f}.png")
+    (tmp_path / "associations.txt").write_text("\n".join(lines) + "\n")
+
+    out_dir = tmp_path / "out"
+    cli.CAMERAS["test"] = cfg.camera
+    cli.main([
+        "--dataset", str(tmp_path), "--camera", "test", "--mode", "slam",
+        "--engine", "device", "--chunk", "3",
+        "--out-dir", str(out_dir), "--max-frames", "7",
+    ])
+    traj = out_dir / "CameraTrajectory.txt"
+    assert traj.exists()
+    data = np.loadtxt(str(traj))
+    assert data.shape == (7, 8)
+    # poses move (tracking alive) and are finite
+    assert np.isfinite(data).all()
+    assert np.abs(np.diff(data[:, 1:4], axis=0)).max() > 1e-4

@@ -55,3 +55,58 @@ def test_vo_with_icl_camera_preset():
     assert np.isfinite(T).all()
     for s in vo.stats:
         assert s["n_matches"] > 20, s
+
+
+def test_track_sequence_matches_streaming_loop():
+    """`track_sequence` (lax.scan chunk, one dispatch) must be exactly the
+    chained `track_frame` recurrence — same poses, stats, and adaptive
+    threshold state as the streaming path."""
+    import jax
+    import jax.numpy as jnp
+
+    from aslam_tpu.config import small_config
+    from aslam_tpu.models import frame as frame_mod
+    from aslam_tpu.models.extractor import init_adaptive_state
+    from aslam_tpu.models.odometry import track_frame, track_sequence
+
+    cfg = small_config()
+    cam = cfg.camera
+    n = 5
+    imgs, depths, poses_gt, _ = synthetic.make_sequence(
+        n_frames=n, n_points=400, cam=cam, seed=7)
+    imgs_u8 = np.clip(imgs, 0, 255).astype(np.uint8)
+    depths_u16 = np.clip(depths / cam.depth_factor, 0, 65535).astype(np.uint16)
+    keys = jax.random.split(jax.random.PRNGKey(11), n)
+
+    state = init_adaptive_state(cfg.extractor)
+    f0, state = frame_mod.make_frame(
+        jnp.asarray(imgs_u8[0]), jnp.asarray(depths_u16[0]), cfg, state)
+    f0 = frame_mod.with_pose(f0, jnp.eye(4))
+
+    # streaming: one dispatch per frame
+    prev, grid = f0, state.grid_thresholds
+    stream_poses, stream_stats = [], []
+    for i in range(1, n):
+        prev, grid, res = track_frame(
+            prev, jnp.asarray(imgs_u8[i]), jnp.asarray(depths_u16[i]),
+            grid, keys[i], cfg, cam.height, cam.width)
+        stream_poses.append(np.asarray(res.T_cw2))
+        stream_stats.append((int(res.n_matches), int(res.n_inliers)))
+
+    # chunked: one dispatch for all frames
+    last, grid2, seq = track_sequence(
+        f0, jnp.asarray(imgs_u8[1:]), jnp.asarray(depths_u16[1:]),
+        state.grid_thresholds, keys[1:], cfg, cam.height, cam.width)
+
+    # trajectory-level agreement (bitwise equality is not guaranteed
+    # across differently-fused XLA programs — see test_batch_vo)
+    np.testing.assert_allclose(
+        np.asarray(seq.T_cw), np.stack(stream_poses), rtol=0, atol=0.01)
+    for (m_c, i_c), (m_s, i_s) in zip(
+            [(int(m), int(i)) for m, i in zip(seq.n_matches, seq.n_inliers)],
+            stream_stats):
+        assert abs(m_c - m_s) <= 5 and abs(i_c - i_s) <= 5
+    np.testing.assert_allclose(np.asarray(grid2), np.asarray(grid),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(last.T_cw),
+                               np.asarray(prev.T_cw), rtol=0, atol=0.01)

@@ -9,11 +9,12 @@ import sys
 
 def build(verbose: bool = True) -> str:
     here = os.path.dirname(os.path.abspath(__file__))
-    src = os.path.join(here, "png_loader.cpp")
+    srcs = [os.path.join(here, "png_loader.cpp"),
+            os.path.join(here, "prefetcher.cpp")]
     out = os.path.join(here, "libaslam_native.so")
     cmd = [
-        "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-        src, "-o", out, "-lz",
+        "g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        *srcs, "-o", out, "-lz",
     ]
     if verbose:
         print("+", " ".join(cmd))

@@ -39,6 +39,21 @@ def _load():
         ctypes.POINTER(ctypes.c_void_p),  # out buffer (malloc'd)
     ]
     lib.aslam_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "aslam_prefetch_create"):
+        lib.aslam_prefetch_create.restype = ctypes.c_void_p
+        lib.aslam_prefetch_create.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.aslam_prefetch_get.restype = ctypes.c_int
+        lib.aslam_prefetch_get.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int]
+            + [ctypes.POINTER(ctypes.c_int)] * 4
+            + [ctypes.POINTER(ctypes.c_void_p)]
+            + [ctypes.POINTER(ctypes.c_int)] * 4
+            + [ctypes.POINTER(ctypes.c_void_p)]
+        )
+        lib.aslam_prefetch_destroy.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB
 
@@ -79,3 +94,86 @@ def decode_png(path: str):
     if c.value == 1:
         return arr.reshape(h.value, w.value)
     return arr.reshape(h.value, w.value, c.value)
+
+
+def _buf_to_array(buf, w, h, c, bits):
+    n = w * h * c
+    if bits == 16:
+        arr = np.ctypeslib.as_array(
+            ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint16)), (n,)
+        ).copy()
+    else:
+        arr = np.ctypeslib.as_array(
+            ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)), (n,)
+        ).copy()
+    return arr.reshape(h, w) if c == 1 else arr.reshape(h, w, c)
+
+
+class NativePrefetcher:
+    """Fully-native RGB-D pair prefetcher: C++ worker threads decode ahead
+    of the consumer into a bounded in-order window (prefetcher.cpp).
+
+    The reference decodes synchronously on the tracking thread
+    (main.cpp:94-95); here decode overlaps device compute with zero Python
+    threads in the loop.  Returns None from the constructor site via
+    `create` when the shared library isn't built or lacks the symbols.
+    """
+
+    @staticmethod
+    def create(rgb_paths, depth_paths, lookahead: int = 4, workers: int = 2):
+        lib = _load()
+        if lib is None or not hasattr(lib, "aslam_prefetch_create"):
+            return None
+        if len(rgb_paths) != len(depth_paths) or not rgb_paths:
+            return None
+        return NativePrefetcher(lib, rgb_paths, depth_paths, lookahead,
+                                workers)
+
+    def __init__(self, lib, rgb_paths, depth_paths, lookahead, workers):
+        self._lib = lib
+        self._n = len(rgb_paths)
+        rgb_blob = b"\0".join(p.encode() for p in rgb_paths) + b"\0"
+        dep_blob = b"\0".join(p.encode() for p in depth_paths) + b"\0"
+        self._h = lib.aslam_prefetch_create(
+            rgb_blob, dep_blob, self._n, int(lookahead), int(workers))
+        if not self._h:
+            raise RuntimeError("aslam_prefetch_create failed")
+
+    def __len__(self):
+        return self._n
+
+    def get(self, i: int):
+        """Decoded (rgb, depth) ndarrays for frame i, or None on failure."""
+        if self._h is None:
+            raise RuntimeError("prefetcher closed")
+        ri = [ctypes.c_int() for _ in range(4)]
+        rb = ctypes.c_void_p()
+        di = [ctypes.c_int() for _ in range(4)]
+        db = ctypes.c_void_p()
+        rc = self._lib.aslam_prefetch_get(
+            self._h, int(i),
+            *[ctypes.byref(x) for x in ri], ctypes.byref(rb),
+            *[ctypes.byref(x) for x in di], ctypes.byref(db),
+        )
+        if rc != 0:
+            return None
+        try:
+            rgb = _buf_to_array(rb, ri[0].value, ri[1].value, ri[2].value,
+                                ri[3].value)
+            dep = _buf_to_array(db, di[0].value, di[1].value, di[2].value,
+                                di[3].value)
+        finally:
+            self._lib.aslam_free(rb)
+            self._lib.aslam_free(db)
+        return rgb, dep
+
+    def close(self):
+        if self._h is not None:
+            self._lib.aslam_prefetch_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -119,8 +119,17 @@ class TumSequence:
         self.depth_factor = depth_factor
         self.lookahead = lookahead
         self._pool = None
+        self._native = None
         self._futures: dict[int, object] = {}
         if lookahead > 0:
+            # prefer the fully-native pipeline (C++ worker threads + ring,
+            # native/prefetcher.cpp) — zero Python threads in the loop
+            from aslam_tpu.native.loader import NativePrefetcher
+
+            self._native = NativePrefetcher.create(
+                self.assoc.rgb_paths, self.assoc.depth_paths,
+                lookahead=lookahead, workers=workers)
+        if lookahead > 0 and self._native is None:
             from concurrent.futures import ThreadPoolExecutor
 
             self._pool = ThreadPoolExecutor(max_workers=workers)
@@ -136,6 +145,17 @@ class TumSequence:
         )
 
     def __getitem__(self, i: int):
+        if self._native is not None:
+            pair = self._native.get(i)
+            if pair is not None:
+                rgb, depth = pair
+                if rgb.ndim == 3:
+                    rgb = (0.299 * rgb[..., 0].astype(np.float32)
+                           + 0.587 * rgb[..., 1].astype(np.float32)
+                           + 0.114 * rgb[..., 2].astype(np.float32))
+                return (self.assoc.timestamps[i], rgb.astype(np.float32),
+                        depth.astype(np.float32) * self.depth_factor)
+            return self._load(i)  # decode failure -> Python fallback
         if self._pool is None:
             return self._load(i)
         # schedule lookahead window, collect this frame
@@ -152,5 +172,7 @@ class TumSequence:
             yield self[i]
 
     def close(self):
+        if self._native is not None:
+            self._native.close()
         if self._pool is not None:
             self._pool.shutdown(wait=False, cancel_futures=True)

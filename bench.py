@@ -60,7 +60,10 @@ def main():
     depths_u16 = np.clip(depths / cam.depth_factor, 0, 65535).astype(np.uint16)
 
     state = init_adaptive_state(cfg.extractor)
-    keys = jax.random.split(jax.random.PRNGKey(0), 4 * n_frames)
+    # one key per frame across ALL passes (the chunked loop indexes up to
+    # n_frames * n_passes; an undersized array silently yields an empty
+    # slice and kills the scan)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_frames * n_passes)
 
     # warmup: compile make_frame (first frame) + fused track_frame
     log("compiling...")

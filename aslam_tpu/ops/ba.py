@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from aslam_tpu.config import BAConfig, CameraModel
+from aslam_tpu.ops.linalg import chol_solve
 from aslam_tpu.utils.se3 import se3_exp
 
 
@@ -132,7 +133,7 @@ def pose_only_ba(
             T, lam = carry
             H, b, _ = edge_terms(T, inlier_mask, robust)
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
-            xi = -jnp.linalg.solve(Hd, b)
+            xi = -chol_solve(Hd, b)
             # guard: reject steps that are non-finite
             xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros(6))
             return (se3_exp(xi) @ T, lam)

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from aslam_tpu.config import BAConfig, CameraModel
 from aslam_tpu.models.mapstate import MapState
 from aslam_tpu.ops.ba import huber_weight, project_residual_jac
+from aslam_tpu.ops.linalg import chol_inv, chol_solve
 from aslam_tpu.utils.se3 import se3_exp
 
 
@@ -89,7 +90,7 @@ def ba_sweep(m: MapState, cam: CameraModel, cfg: BAConfig,
     H = H + lam * jnp.eye(6) * jnp.maximum(
         jnp.trace(H, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6
     ) + 1e-8 * jnp.eye(6)
-    dx = -jnp.linalg.solve(H, b[..., None])[..., 0]
+    dx = -chol_solve(H, b)
     dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
     # gauge: hold the oldest valid KF fixed
     oldest = jnp.argmax(jnp.where(m.kf_valid, -m.kf_id, -(2**30)))
@@ -110,7 +111,7 @@ def ba_sweep(m: MapState, cam: CameraModel, cfg: BAConfig,
     Hll = Hll + lam * jnp.eye(3) * jnp.maximum(
         jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
     ) + 1e-8 * jnp.eye(3)
-    dxl = -jnp.linalg.solve(Hll, bl[..., None])[..., 0]
+    dxl = -chol_solve(Hll, bl)
     dxl = jnp.where(m.lm_valid[:, None] & jnp.isfinite(dxl), dxl, 0.0)
     m = m._replace(lm_pos=m.lm_pos + dxl)
 
@@ -203,8 +204,8 @@ def gn_cg_step(m: MapState, cam: CameraModel, cfg: BAConfig,
     )
     bc = jnp.where(cam_free[:, None], bc, 0.0)
     bl = jnp.where(pt_free[:, None], bl, 0.0)
-    Dc_inv = jnp.linalg.inv(Dc + (lam + 1e-8) * jnp.eye(6))
-    Dl_inv = jnp.linalg.inv(Dl + (lam + 1e-8) * jnp.eye(3))
+    Dc_inv = chol_inv(Dc + (lam + 1e-8) * jnp.eye(6))
+    Dl_inv = chol_inv(Dl + (lam + 1e-8) * jnp.eye(3))
 
     def Hv(vc, vl):
         def body(c, acc):
@@ -312,7 +313,7 @@ def ba_sweep_chunked(m: MapState, cam: CameraModel, cfg: BAConfig,
         H = H + lam * jnp.eye(6) * jnp.maximum(
             jnp.trace(H, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6
         ) + 1e-8 * jnp.eye(6)
-        dx = -jnp.linalg.solve(H, b[..., None])[..., 0]
+        dx = -chol_solve(H, b)
         rows = c * kf_chunk + jnp.arange(kf_chunk)
         freeze = (rows == oldest) | ~mc.kf_valid
         dx = jnp.where(jnp.isfinite(dx) & ~freeze[:, None], dx, 0.0)
@@ -343,7 +344,7 @@ def ba_sweep_chunked(m: MapState, cam: CameraModel, cfg: BAConfig,
     Hll = Hll + lam * jnp.eye(3) * jnp.maximum(
         jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
     ) + 1e-8 * jnp.eye(3)
-    dxl = -jnp.linalg.solve(Hll, bl[..., None])[..., 0]
+    dxl = -chol_solve(Hll, bl)
     dxl = jnp.where(m.lm_valid[:, None] & jnp.isfinite(dxl), dxl, 0.0)
     m = m._replace(lm_pos=m.lm_pos + dxl)
     return m, GlobalBAStats(chi2=chi2_sum, n_edges=n_act)

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from aslam_tpu.config import CameraModel, ICPConfig
+from aslam_tpu.ops.linalg import chol_solve
 from aslam_tpu.utils.se3 import se3_exp
 
 
@@ -110,7 +111,7 @@ def icp_refine(
         J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)    # [N,6]
         Hm = jnp.einsum("n,ni,nj->ij", w, J, J) + 1e-6 * jnp.eye(6)
         b = jnp.einsum("n,ni,n->i", w, J, r)
-        xi = -jnp.linalg.solve(Hm, b)
+        xi = -chol_solve(Hm, b)
         xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros(6))
         T_new = se3_exp(xi) @ T
         # adaptive correspondence distance from the residual scale

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from aslam_tpu.config import BAConfig, CameraModel
 from aslam_tpu.ops.ba import huber_weight, project_residual_jac
+from aslam_tpu.ops.linalg import chol_inv
 from aslam_tpu.utils.se3 import se3_exp
 
 
@@ -142,7 +143,7 @@ def schur_solve(
     Hll_d = Hll + lam * eyes3 * jnp.maximum(
         jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
     ) + 1e-8 * eyes3
-    Hll_inv = jnp.linalg.inv(Hll_d)                  # [L,3,3] batched
+    Hll_inv = chol_inv(Hll_d)                        # [L,3,3] batched
 
     # Y = W Hll^-1   [C,L,6,3]
     Y = jnp.einsum("clij,cljk->clik", W, jnp.broadcast_to(Hll_inv, (C, L, 3, 3)))

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from aslam_tpu.config import CameraModel
 from aslam_tpu.ops.ba import project_residual_jac
+from aslam_tpu.ops.linalg import chol_solve
 from aslam_tpu.utils.se3 import se3_exp
 
 
@@ -46,7 +47,7 @@ def _gn_refine(T0, pts_w, obs_uv, w, cam, iters):
         wv = w * depth_ok
         H = jnp.einsum("n,nri,nrj->ij", wv, J, J) + 1e-6 * jnp.eye(6)
         b = jnp.einsum("n,nri,nr->i", wv, J, r)
-        xi = -jnp.linalg.solve(H, b)
+        xi = -chol_solve(H, b)
         xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros(6))
         return se3_exp(xi) @ T
 

@@ -24,6 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from aslam_tpu.ops.linalg import chol_inv
 from aslam_tpu.utils.se3 import se3_exp, se3_log, T_inv
 
 
@@ -159,7 +160,7 @@ def optimize_cg(pg: PoseGraph, iters: int = 15, cg_iters: int = 64,
             jnp.einsum("eri,erj->eij", wJi, Ji)
         ).at[pg.e_j].add(jnp.einsum("eri,erj->eij", wJj, Jj))
         D = D + (lam + 1e-8) * jnp.eye(6)
-        D_inv = jnp.linalg.inv(D)
+        D_inv = chol_inv(D)
 
         def Hv(v):
             # per-edge: q_e = Ji v_i + Jj v_j ; scatter back JT w q

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from aslam_tpu.config import CameraModel, RansacConfig
+from aslam_tpu.ops.linalg import chol_solve
 from aslam_tpu.utils.se3 import weighted_kabsch
 
 
@@ -76,7 +77,7 @@ def mahalanobis_sq(
     sigma = sigma.at[..., 2, 2].add(c2[..., 2])
     # tiny jitter for far-invalid points, keeps the solve well-posed
     sigma = sigma + jnp.eye(3) * 1e-12
-    sol = jnp.linalg.solve(sigma, delta[..., None])[..., 0]
+    sol = chol_solve(sigma, delta)
     return jnp.sum(delta * sol, axis=-1)
 
 

@@ -33,6 +33,7 @@ from jax import shard_map
 
 from aslam_tpu.config import BAConfig, CameraModel
 from aslam_tpu.ops.lba import BAProblem, assemble, edge_terms
+from aslam_tpu.ops.linalg import chol_inv
 from aslam_tpu.utils.se3 import se3_exp
 
 EDGE_AXES = ("dp", "lm")
@@ -96,7 +97,7 @@ def _one_iteration(local_prob: BAProblem, cam: CameraModel, cfg: BAConfig,
     Hll_d = Hll_s + lam * eyes3 * jnp.maximum(
         jnp.trace(Hll_s, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
     ) + 1e-8 * eyes3
-    Hll_inv_s = jnp.linalg.inv(Hll_d)
+    Hll_inv_s = chol_inv(Hll_d)
 
     # Schur contribution of this landmark shard
     Y_s = jnp.einsum("clij,ljk->clik", W_s, Hll_inv_s)

@@ -30,6 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from aslam_tpu.config import BAConfig, CameraModel
 from aslam_tpu.models.mapstate import MapState
 from aslam_tpu.ops.ba import huber_weight, project_residual_jac
+from aslam_tpu.ops.linalg import chol_solve
 from aslam_tpu.utils.se3 import se3_exp
 
 KF_AXES = ("dp", "lm")
@@ -99,7 +100,7 @@ def sharded_global_ba(
             H = H + lam * jnp.eye(6) * jnp.maximum(
                 jnp.trace(H, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6
             ) + 1e-8 * jnp.eye(6)
-            dx = -jnp.linalg.solve(H, b[..., None])[..., 0]
+            dx = -chol_solve(H, b)
             dx = jnp.where(jnp.isfinite(dx) & ~freeze[:, None], dx, 0.0)
             kf_T = jax.vmap(se3_exp)(dx) @ kf_T
 
@@ -122,7 +123,7 @@ def sharded_global_ba(
             Hll_s = Hll_s + lam * jnp.eye(3) * jnp.maximum(
                 jnp.trace(Hll_s, axis1=-2, axis2=-1)[:, None, None] / 3.0,
                 1e-6) + 1e-8 * jnp.eye(3)
-            dxl_s = -jnp.linalg.solve(Hll_s, bl_s[..., None])[..., 0]
+            dxl_s = -chol_solve(Hll_s, bl_s)
             dxl_s = jnp.where(lv_s[:, None] & jnp.isfinite(dxl_s), dxl_s, 0.0)
             dxl = lax.all_gather(dxl_s, "lm", axis=0, tiled=True)
             lm_pos = lm_pos + dxl

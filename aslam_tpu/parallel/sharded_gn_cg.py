@@ -22,6 +22,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from aslam_tpu.config import BAConfig, CameraModel
 from aslam_tpu.models.mapstate import MapState
 from aslam_tpu.ops.global_ba import GlobalBAStats, _edge_terms
+from aslam_tpu.ops.linalg import chol_inv
 from aslam_tpu.utils.se3 import se3_exp
 
 AXES = ("dp", "lm")
@@ -83,13 +84,13 @@ def sharded_gn_cg_step(
         bl = jnp.where(pt_free[:, None], bl, 0.0)
 
         Dc = jnp.einsum("kmri,kmrj->kij", wJc, Jc)
-        Dc_inv = jnp.linalg.inv(Dc + (lam + 1e-8) * jnp.eye(6))
+        Dc_inv = chol_inv(Dc + (lam + 1e-8) * jnp.eye(6))
         Dl = lax.psum(
             jnp.zeros((L, 3, 3)).at[lm].add(
                 jnp.einsum("kmri,kmrj->kmij", wJp, Jp)),
             AXES,
         )
-        Dl_inv = jnp.linalg.inv(Dl + (lam + 1e-8) * jnp.eye(3))
+        Dl_inv = chol_inv(Dl + (lam + 1e-8) * jnp.eye(3))
 
         def Hv(vc, vl):
             # vc: [Ks,6] local shard; vl: [L,3] replicated

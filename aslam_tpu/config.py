@@ -200,10 +200,13 @@ class BAConfig:
     lambda_init: float = 1e-4
     lambda_up: float = 10.0
     lambda_down: float = 0.1
-    # local-BA padded capacities (static shapes)
+    # local-BA padded capacities (static shapes).  max_window_points is the
+    # COMPACT landmark index space of the window problem — the Schur
+    # coupling tensor is [C, max_window_points, 6, 3], independent of the
+    # map's total landmark capacity.
     max_window_cams: int = 64
     max_fixed_cams: int = 64
-    max_window_points: int = 8192
+    max_window_points: int = 4096
     max_edges: int = 16384
 
 
@@ -244,6 +247,14 @@ class LoopConfig:
     word_fraction: float = 0.8      # keyframedatabase.cpp:87
     score_fraction: float = 0.75    # keyframedatabase.cpp:129
     pose_graph_iters: int = 20
+    # temporal-consistency gate (the ConsistentGroup design the reference
+    # declares but never finishes, loopclosing.h:16-22; ORB-SLAM2's
+    # mnCovisibilityConsistencyTh): a loop candidate is only verified after
+    # its covisibility group was detected in `consistency_th` CONSECUTIVE
+    # keyframes.  1 disables the gate (verify immediately).
+    consistency_th: int = 3
+    # verify the top-N database candidates, not just the argmax
+    top_candidates: int = 3
 
 
 @dataclass(frozen=True)

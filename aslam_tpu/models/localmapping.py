@@ -24,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from aslam_tpu.config import SystemConfig
 from aslam_tpu.models import mapstate as ms
@@ -162,10 +163,23 @@ def build_window(m: ms.MapState, slot: jnp.ndarray, cfg: SystemConfig):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def build_problem(m: ms.MapState, spec: WindowSpec, cfg: SystemConfig):
     """Extract the BAProblem arrays for the window.  Edges are the window
-    KFs' feature slots (static shape C*M, masked)."""
+    KFs' feature slots (static shape C*M, masked).
+
+    The window's landmarks are gathered into a COMPACT local index space of
+    capacity `cfg.ba.max_window_points` (Lw) before assembly: the Schur
+    coupling tensor W is [C,Lw,6,3] instead of [C,L_total,6,3] — at default
+    capacities that is ~25x less memory for a window that touches a few
+    thousand of the map's 32k landmark slots (the windowing intent of
+    reference localbundleadjustment.cpp:21-63).
+
+    Returns (BAProblem, lw_ids [Lw] global landmark ids, n_overflow scalar
+    int32 = optimizable landmarks that did not fit in Lw and therefore keep
+    their current positions).
+    """
     C = spec.cam_slots.shape[0]
     M = m.kf_lm.shape[1]
     L = m.lm_pos.shape[0]
+    Lw = cfg.ba.max_window_points
 
     rows = m.kf_lm[spec.cam_slots]                   # [C,M]
     kp_ok = m.kf_kp_valid[spec.cam_slots] & spec.cam_valid[:, None]
@@ -178,43 +192,65 @@ def build_problem(m: ms.MapState, spec: WindowSpec, cfg: SystemConfig):
     ].set(True)[:L]
     point_opt = win_obs & m.lm_valid
 
+    # gather into compact local space: optimizable landmarks first, in
+    # stable id order (argsort of ~mask lists True entries first)
+    order = jnp.argsort(~point_opt, stable=True).astype(jnp.int32)
+    lw_ids = order[:Lw]                               # [Lw] global ids
+    lw_valid = point_opt[lw_ids]
+    n_opt = jnp.sum(point_opt.astype(jnp.int32))
+    n_overflow = jnp.maximum(n_opt - Lw, 0)
+    # global -> local lookup (-1 = not in the window)
+    g2l = jnp.full((L + 1,), -1, jnp.int32).at[
+        jnp.where(lw_valid, lw_ids, L)
+    ].set(jnp.where(lw_valid, jnp.arange(Lw, dtype=jnp.int32), -1))[:L]
+
     # fixed-cam edges only constrain window landmarks; non-window-landmark
     # edges are masked out (they would distort the Schur complement)
-    e_valid = has & m.lm_valid[lm_idx] & point_opt[lm_idx]
+    e_lm_local = g2l[lm_idx]                          # [C,M]
+    e_valid = has & m.lm_valid[lm_idx] & (e_lm_local >= 0)
 
     prob = lba.BAProblem(
         cam_T=m.kf_T_cw[spec.cam_slots],
         cam_fixed=spec.cam_fixed,
         cam_valid=spec.cam_valid,
-        points=m.lm_pos,
-        point_valid=point_opt,
+        points=m.lm_pos[lw_ids],
+        point_valid=lw_valid,
         e_cam=jnp.repeat(jnp.arange(C, dtype=jnp.int32), M),
-        e_lm=lm_idx.reshape(-1),
+        e_lm=jnp.maximum(e_lm_local, 0).reshape(-1),
         e_uv=m.kf_xy[spec.cam_slots].reshape(-1, 2),
         e_ur=m.kf_ur[spec.cam_slots].reshape(-1),
         e_z=m.kf_z[spec.cam_slots].reshape(-1),
         e_valid=e_valid.reshape(-1),
     )
-    return prob
+    return prob, lw_ids, n_overflow
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("m",))
 def write_back(m: ms.MapState, spec: WindowSpec, prob: lba.BAProblem,
-               cfg: SystemConfig) -> ms.MapState:
+               lw_ids: jnp.ndarray, cfg: SystemConfig) -> ms.MapState:
     """Write optimized poses/points back and erase pruned observations
     (lba.cpp:288-315, under the reference's map-update mutex — here just
-    array writes)."""
+    array writes).  `lw_ids` maps the problem's compact landmark index
+    space back to global landmark ids (from build_problem)."""
     C, M = spec.cam_slots.shape[0], m.kf_lm.shape[1]
+    L = m.lm_pos.shape[0]
     write_cam = spec.cam_valid & ~spec.cam_fixed
     safe_slots = jnp.where(write_cam, spec.cam_slots, m.kf_T_cw.shape[0])
     kf_T = jnp.concatenate([m.kf_T_cw, jnp.zeros((1, 4, 4))]) \
         .at[safe_slots].set(prob.cam_T)[:-1]
 
-    lm_pos = jnp.where(prob.point_valid[:, None], prob.points, m.lm_pos)
+    # scatter optimized positions back to the global table
+    safe_lw = jnp.where(prob.point_valid, lw_ids, L)
+    lm_pos = jnp.concatenate([m.lm_pos, jnp.zeros((1, 3))]) \
+        .at[safe_lw].set(prob.points)[:L]
 
-    # pruned edges -> remove observation (kf_lm slot := -1)
+    # pruned edges -> remove observation (kf_lm slot := -1); only window
+    # landmarks can be pruned (others were never in the problem)
+    point_opt_g = jnp.zeros((L + 1,), bool).at[safe_lw].set(
+        prob.point_valid
+    )[:L]
     pruned = (~prob.e_valid.reshape(C, M)) & (m.kf_lm[spec.cam_slots] >= 0) \
-        & spec.cam_valid[:, None] & prob.point_valid[
+        & spec.cam_valid[:, None] & point_opt_g[
             jnp.maximum(m.kf_lm[spec.cam_slots], 0)
         ]
     rows = jnp.where(pruned, -1, m.kf_lm[spec.cam_slots])
@@ -233,6 +269,11 @@ class LocalMapping:
     def __init__(self, cfg: SystemConfig):
         self.cfg = cfg
         self.n_processed = 0
+        # culled-KF parent chain: kf_id -> (parent_kf_id, T_cp [4,4]).
+        # Trajectory recovery walks this to a surviving ancestor when a
+        # frame's reference KF was culled (tracking.cpp:564-567,
+        # keyframe.cpp:506 `mTcp`).
+        self.culled: dict[int, tuple[int, np.ndarray]] = {}
 
     def process_keyframe(self, m: ms.MapState, slot: int, kf_id: int,
                          n_kfs: int) -> ms.MapState:
@@ -255,11 +296,16 @@ class LocalMapping:
         # 4. local BA once there are >2 KFs (localmapping.cpp:45-48)
         if n_kfs > 2:
             spec = build_window(m, slot_j, cfg)
-            prob = build_problem(m, spec, cfg)
+            prob, lw_ids, _ = build_problem(m, spec, cfg)
             prob, _ = lba.local_ba(prob, cfg.camera, cfg.ba)
-            m = write_back(m, spec, prob, cfg)
+            m = write_back(m, spec, prob, lw_ids, cfg)
 
-        # 5. keyframe culling
-        m = ms.keyframe_culling(m, slot_j, cfg)
+        # 5. keyframe culling (one scalar readback per keyframe — KF rate,
+        # not frame rate)
+        m, cull = ms.keyframe_culling(m, slot_j, cfg)
+        if bool(cull.culled):
+            self.culled[int(cull.kf_id)] = (
+                int(cull.parent_kf_id), np.asarray(cull.T_cp),
+            )
         self.n_processed += 1
         return m

@@ -77,7 +77,9 @@ def query_candidates(
     kf_gap_ok: jnp.ndarray, cfg: SystemConfig,
 ):
     """Database query (keyframedatabase.cpp:48-147): returns
-    (best_candidate slot int32 or -1, best score)."""
+    (cand_slots [N] int32 with -1 padding, cand_scores [N],
+    cand_groups [N,K] bool covisibility groups for the consistency gate)
+    where N = cfg.loop.top_candidates, best first."""
     covis = ms.covisibility(m)
     eligible = (
         db.kf_in_db & m.kf_valid
@@ -102,9 +104,18 @@ def query_candidates(
     acc = jnp.where(ok, acc, -1.0)
     best_acc = jnp.max(acc)
     good = ok & (acc >= cfg.loop.score_fraction * best_acc)
-    best = jnp.argmax(jnp.where(good, scores, -1.0))
-    found = jnp.any(good)
-    return jnp.where(found, best, -1), scores[best]
+
+    n = cfg.loop.top_candidates
+    top_scores, top_idx = jax.lax.top_k(jnp.where(good, scores, -1.0), n)
+    found = top_scores > 0
+    cand_slots = jnp.where(found, top_idx, -1).astype(jnp.int32)
+    # covisibility group of each candidate: itself + covisible KFs (the
+    # ConsistentGroup's spKeyFrames set, loopclosing.h:16-22)
+    grp = (covis[top_idx] > 0) | (
+        jnp.arange(covis.shape[0])[None, :] == top_idx[:, None]
+    )
+    grp = grp & found[:, None] & m.kf_valid[None, :]
+    return cand_slots, top_scores, grp
 
 
 def bow_guided_match(
@@ -278,6 +289,12 @@ class LoopClosing:
         self.last_loop_kf_id = -(10**9)
         self.key = jax.random.PRNGKey(123)
         self.loops: list[tuple[int, int]] = []
+        # temporal-consistency state (the ConsistentGroup list,
+        # loopclosing.h:16-22): (set of kf_ids in the group, consecutive
+        # detection count).  Replaced wholesale each keyframe — a group
+        # that stops being detected is dropped, so `count` really means
+        # consecutive KFs.
+        self.consistent_groups: list[tuple[set, int]] = []
 
     def _train(self, m: ms.MapState) -> bool:
         """(Re)train the vocabulary from the current map and rebuild the
@@ -339,17 +356,49 @@ class LoopClosing:
                 slot_j,
             )
         if kf_id - self.last_loop_kf_id < cfg.loop.min_kf_gap:
+            self.consistent_groups = []
             return m
         gap_ok = (jnp.int32(kf_id) - m.kf_id) >= cfg.loop.min_kf_gap
-        cand, score = query_candidates(self.db, m, slot_j, gap_ok, cfg)
-        cand_i = int(cand)
-        if cand_i < 0:
+        cands, scores, groups = query_candidates(self.db, m, slot_j,
+                                                 gap_ok, cfg)
+        cands = np.asarray(cands)
+        groups = np.asarray(groups)
+        kf_ids = np.asarray(m.kf_id)
+        if (cands < 0).all():
+            self.consistent_groups = []  # detection streak broken
             return m
-        self.key, sub = jax.random.split(self.key)
-        T_qc, n_inl, ok = verify_loop(
-            self.db, m, slot_j, jnp.int32(cand_i), sub, cfg
-        )
-        if not bool(ok):
+
+        # temporal-consistency gate: a candidate is only verified once its
+        # covisibility group intersected the groups detected in
+        # `consistency_th` consecutive keyframes (ConsistentGroup check;
+        # counts start at 1 on first detection, so th=3 means 3 consecutive
+        # detecting KFs)
+        current_groups: list[tuple[set, int]] = []
+        enough: list[int] = []
+        for rank, c in enumerate(cands):
+            if c < 0:
+                continue
+            group = set(int(i) for i in kf_ids[groups[rank]])
+            count = 1
+            for prev_group, prev_count in self.consistent_groups:
+                if group & prev_group:
+                    count = max(count, prev_count + 1)
+            current_groups.append((group, count))
+            if count >= cfg.loop.consistency_th:
+                enough.append(int(c))
+        self.consistent_groups = current_groups
+        if not enough:
+            return m
+
+        # geometric verification of the consistent candidates, best first
+        for cand_i in enough:
+            self.key, sub = jax.random.split(self.key)
+            T_qc, n_inl, ok = verify_loop(
+                self.db, m, slot_j, jnp.int32(cand_i), sub, cfg
+            )
+            if bool(ok):
+                break
+        else:
             return m
         pg = build_pose_graph(m, slot_j, jnp.int32(cand_i), T_qc, cfg)
         if m.kf_valid.shape[0] > 256:
@@ -359,6 +408,7 @@ class LoopClosing:
             pg = pose_graph.optimize(pg, iters=cfg.loop.pose_graph_iters)
         m = correct_map(m, pg.T)
         self.last_loop_kf_id = kf_id
+        self.consistent_groups = []
         self.loops.append((slot, cand_i))
         return m
 

@@ -237,11 +237,30 @@ def landmark_culling(m: MapState, current_kf_id: jnp.ndarray,
     return m._replace(lm_valid=keep, kf_lm=kf_lm)
 
 
+class CullInfo(NamedTuple):
+    """Parent-chain record of a culled keyframe, for trajectory recovery.
+
+    The reference stores `mTcp` (pose relative to the spanning-tree parent)
+    when a KF is erased (keyframe.cpp:506) so `SaveTrajectory` can walk
+    dead reference KFs up to a surviving ancestor (tracking.cpp:564-567).
+    Here the parent is the surviving KF most covisible with the victim
+    (the spanning-tree re-parenting rule, keyframe.cpp:429-512, picks the
+    top covisible candidate)."""
+
+    culled: jnp.ndarray        # scalar bool: did a cull happen
+    kf_id: jnp.ndarray         # scalar int32 victim kf_id (-1 if none)
+    parent_kf_id: jnp.ndarray  # scalar int32 parent kf_id (-1 if none)
+    T_cp: jnp.ndarray          # [4,4] victim pose relative to parent
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("m",))
 def keyframe_culling(m: MapState, current_slot: jnp.ndarray,
-                     cfg: SystemConfig) -> MapState:
+                     cfg: SystemConfig):
     """Reference rule (localmapping.cpp:196-238): a KF is redundant when
-    >95% of its close landmarks are observed >= 3 times elsewhere."""
+    >95% of its close landmarks are observed >= 3 times elsewhere.
+
+    Returns (map, CullInfo) — the CullInfo is the victim's parent-chain
+    record the host appends to its culled-KF registry."""
     obs = observation_counts(m)                       # [L]
     L = m.lm_pos.shape[0]
     ids = jnp.where(m.kf_kp_valid, m.kf_lm, -1)
@@ -265,13 +284,27 @@ def keyframe_culling(m: MapState, current_slot: jnp.ndarray,
     # the map stable)
     first = jnp.argmax(redundant_kf)
     do = jnp.any(redundant_kf)
+
+    # parent = surviving KF most covisible with the victim (computed while
+    # the victim is still valid so its covisibility row exists)
+    w_row = covisibility(m)[first]
+    parent_rank = jnp.where(m.kf_valid, w_row, -1).at[first].set(-1)
+    parent = jnp.argmax(parent_rank)
+    T_cp = m.kf_T_cw[first] @ T_inv(m.kf_T_cw[parent])
+    info = CullInfo(
+        culled=do,
+        kf_id=jnp.where(do, m.kf_id[first], -1),
+        parent_kf_id=jnp.where(do, m.kf_id[parent], -1),
+        T_cp=T_cp,
+    )
+
     kf_valid = m.kf_valid.at[first].set(
         jnp.where(do, False, m.kf_valid[first])
     )
     kf_lm = m.kf_lm.at[first].set(
         jnp.where(do, jnp.full_like(m.kf_lm[first], -1), m.kf_lm[first])
     )
-    return m._replace(kf_valid=kf_valid, kf_lm=kf_lm)
+    return m._replace(kf_valid=kf_valid, kf_lm=kf_lm), info
 
 
 # ---------------------------------------------------------------- descriptors

@@ -85,14 +85,49 @@ class SlamSystem:
         tr.poses.append(np.asarray(frame.T_cw))
         tr.timestamps.append(t_stamp)
         tr.stats.append({"new_sequence": True})
+        tr.record_relative_pose(np.asarray(frame.T_cw))
         return np.asarray(frame.T_cw), {"new_sequence": True,
                                         "relocalized": T0 is not None}
 
     # -- exports (main.cpp:124-126) -----------------------------------
-    def save_trajectory(self, path: str) -> None:
+    def rebuilt_trajectory(self) -> np.ndarray:
+        """Full camera trajectory rebuilt from the FINAL keyframe poses:
+        T_cw(t) = T_cr(t) @ T_rw(final), walking the culled-KF parent chain
+        to a surviving ancestor when the reference KF is gone.  This is the
+        reference's SaveTrajectory semantics (tracking.cpp:544-582): local
+        BA, keyframe culling, and loop corrections all propagate into the
+        exported trajectory retroactively."""
+        tr = self.tracking
+        m = tr.map
+        kf_valid = np.asarray(m.kf_valid)
+        kf_ids = np.asarray(m.kf_id)
+        kf_T = np.asarray(m.kf_T_cw)
+        id2slot = {int(i): s for s, i in enumerate(kf_ids) if kf_valid[s]}
+        culled = self.local_mapping.culled
+        out = []
+        for i, (ref, T_cr) in enumerate(zip(tr.ref_kf_ids, tr.rel_poses)):
+            T_acc = T_cr
+            r = ref
+            hops = 0
+            while r not in id2slot and r in culled and hops < len(culled) + 1:
+                parent, T_rp = culled[r]
+                T_acc = T_acc @ T_rp
+                r = parent
+                hops += 1
+            if r in id2slot:
+                out.append(T_acc @ kf_T[id2slot[r]])
+            else:  # no surviving ancestor: keep the frozen track-time pose
+                out.append(tr.poses[i])
+        return np.stack(out)
+
+    def save_trajectory(self, path: str, corrected: bool = True) -> None:
+        poses = (
+            self.rebuilt_trajectory()
+            if corrected and self.tracking.rel_poses
+            else np.stack(self.tracking.poses)
+        )
         trajectory.save_tum_trajectory(
-            path, np.asarray(self.tracking.timestamps),
-            np.stack(self.tracking.poses),
+            path, np.asarray(self.tracking.timestamps), poses,
         )
 
     def save_keyframe_trajectory(self, path: str) -> None:

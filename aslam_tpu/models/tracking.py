@@ -244,10 +244,17 @@ class Tracking:
         self.last_assoc: jnp.ndarray | None = None
         self.relocalizer = None  # set by SlamSystem when loop closing is on
         self.last_kf_T: np.ndarray | None = None
+        self.last_kf_id: int = -1
         self.poses: list[np.ndarray] = []
         self.timestamps: list[float] = []
         self.new_kf_slots: list[int] = []
         self.stats: list[dict] = []
+        # per-frame pose RELATIVE to the reference keyframe (the reference's
+        # mlRelativeFramePoses + mlpReferences, tracking.cpp:407-413,544-582):
+        # T_cw(t) is rebuilt at export time as T_cr(t) @ T_rw(final) so
+        # BA/loop corrections propagate into the full trajectory.
+        self.ref_kf_ids: list[int] = []
+        self.rel_poses: list[np.ndarray] = []
 
     # -- keyframe insertion -------------------------------------------
     def _insert_keyframe(self, frame, assoc, max_new: int):
@@ -262,6 +269,7 @@ class Tracking:
         )
         self.next_lm = int(jnp.sum(self.map.lm_valid))  # live count
         self.n_kfs = int(jnp.sum(self.map.kf_valid))
+        self.last_kf_id = self.kf_counter
         self.kf_counter += 1
         self.last_kf_T = np.asarray(frame.T_cw)
         self.new_kf_slots.append(int(slot))
@@ -359,4 +367,14 @@ class Tracking:
         self.poses.append(T)
         self.timestamps.append(t)
         self.stats.append(info)
+        self.record_relative_pose(T)
         return T, info
+
+    def record_relative_pose(self, T_cw: np.ndarray) -> None:
+        """Append this frame's (reference-KF id, T_cr) record.  When the
+        frame itself became a keyframe, last_kf_T is its own pose and the
+        relative pose is the identity (UpdateRelativePose,
+        tracking.cpp:407-413)."""
+        T_rw = self.last_kf_T if self.last_kf_T is not None else np.eye(4)
+        self.ref_kf_ids.append(self.last_kf_id)
+        self.rel_poses.append(np.asarray(T_cw) @ np.linalg.inv(T_rw))

@@ -58,11 +58,46 @@ def test_build_problem_masks_foreign_edges():
     cfg = small_config()
     m, _ = build_map_with_kfs(cfg, n_kfs=5)
     spec = lmm.build_window(m, jnp.int32(4), cfg)
-    prob = lmm.build_problem(m, spec, cfg)
+    prob, lw_ids, n_over = lmm.build_problem(m, spec, cfg)
     e_valid = np.asarray(prob.e_valid)
     e_lm = np.asarray(prob.e_lm)
     point_opt = np.asarray(prob.point_valid)
     assert (point_opt[e_lm[e_valid]]).all()
+    assert int(n_over) == 0
+    # the problem's landmark axis is the compact window capacity, not the
+    # full map table
+    assert prob.points.shape[0] == cfg.ba.max_window_points
+    # compact ids map back to real landmarks
+    ids = np.asarray(lw_ids)
+    pv = np.asarray(prob.point_valid)
+    lm_valid = np.asarray(m.lm_valid)
+    assert lm_valid[ids[pv]].all()
+    # round-trip: edge -> local id -> global id equals the KF's binding
+    rows = np.asarray(m.kf_lm[np.asarray(spec.cam_slots)]).reshape(-1)
+    assert (ids[e_lm[e_valid]] == rows[e_valid]).all()
+
+
+def test_compact_window_full_size_config():
+    """Full-size map capacities: the window problem must stay compact
+    ([C, 4096] coupling, <100 MB) and local BA must reduce chi2.  Before
+    the compaction this would materialize ~1 GB of W/Y tensors."""
+    from aslam_tpu.config import SystemConfig
+    from aslam_tpu.ops import lba as lba_ops
+
+    cfg = SystemConfig()  # 256 KFs x 32768 landmarks, window 64+64
+    m, _ = build_map_with_kfs(cfg, n_kfs=4, share=0.7)
+    spec = lmm.build_window(m, jnp.int32(3), cfg)
+    prob, lw_ids, n_over = lmm.build_problem(m, spec, cfg)
+    C = np.asarray(spec.cam_slots).shape[0]
+    Lw = prob.points.shape[0]
+    assert Lw == cfg.ba.max_window_points == 4096
+    w_bytes = C * Lw * 6 * 3 * 4
+    assert w_bytes < 100 * 1024 * 1024, f"W tensor {w_bytes/1e6:.0f} MB"
+    prob2, stats = lba_ops.local_ba(prob, cfg.camera, cfg.ba)
+    assert np.isfinite(float(stats.chi2))
+    lm_shape = m.lm_pos.shape  # write_back donates m
+    m2 = lmm.write_back(m, spec, prob2, lw_ids, cfg)
+    assert m2.lm_pos.shape == lm_shape
 
 
 def test_fuse_binds_free_features():

@@ -68,3 +68,24 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# The suite compiles hundreds of large CPU executables; holding all of them
+# live for ~190 tests exhausts process resources (deterministic SIGSEGV in
+# XLA around test #157 regardless of which tests ran).  Dropping the
+# in-memory jit caches every N tests caps the footprint; the persistent
+# disk cache (above) makes re-tracing a cheap deserialization, not a
+# recompile.
+_TEARDOWN_COUNT = 0
+
+
+def pytest_runtest_teardown(item, nextitem):
+    global _TEARDOWN_COUNT
+    _TEARDOWN_COUNT += 1
+    if _TEARDOWN_COUNT % 30 == 0:
+        import gc
+
+        import jax
+
+        jax.clear_caches()
+        gc.collect()

@@ -180,6 +180,11 @@ class ICPConfig:
     escalate_min_inliers: int = 20
     escalate_rmse: float = 0.7      # rmse*10 >= 7
     restart_rmse: float = 2.0       # rmse*10 >= 20 -> identity warm start
+    # refinement model: "gicp" = plane-to-plane with per-point covariances
+    # C = R diag(eps,1,1) R^T (pcl::GeneralizedICP, generalizedicp.h:41);
+    # "point_to_plane" = the simpler nT(p-q) residual
+    method: str = "gicp"
+    gicp_epsilon: float = 1e-3      # covariance thickness along the normal
 
 
 @dataclass(frozen=True)
@@ -215,10 +220,16 @@ class TrackingConfig:
     """Front-end policy (reference System/tracking.cpp)."""
 
     kf_min_trans: float = 0.15      # tracking.cpp:451
-    kf_min_rot: float = 0.25        # tracking.cpp:452
+    kf_min_rot: float = 0.25       # tracking.cpp:452
     max_vo_points: int = 100        # tracking.cpp:488-535 (<=100 close pts)
     local_map_max_kfs: int = 80     # tracking.cpp:307
     min_matches_tracked: int = 20
+    # LOST-state pose policy when no relocalizer is available (the
+    # reference declares LOST and does nothing, tracking.h:37):
+    # "integrate" keeps the raw estimate (reference-faithful drift),
+    # "motion_model" substitutes constant-velocity extrapolation so a
+    # garbage estimate cannot poison the trajectory
+    lost_policy: str = "motion_model"
 
 
 @dataclass(frozen=True)

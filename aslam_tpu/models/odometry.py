@@ -69,10 +69,19 @@ def _icp_refine_step(
 ):
     from aslam_tpu.ops import icp
 
+    cam = cfg.camera
     T_init = T_ransac if warm_from_ransac else jnp.eye(4)
+    src_valid = f1.has_depth & pair_valid
+    if cfg.icp.method == "gicp":
+        nm = icp.normal_map(
+            icp.backproject_depth(f1.depth_map, cam), f1.depth_map > 0.05)
+        H, W = f1.depth_map.shape
+        xi = jnp.clip(jnp.round(f1.feat.xy[:, 0]).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(jnp.round(f1.feat.xy[:, 1]).astype(jnp.int32), 0, H - 1)
+        return icp.gicp_refine(
+            f1.p3d, nm[yi, xi], src_valid, f2.depth_map, T_init, cam, cfg.icp)
     return icp.icp_refine(
-        f1.p3d, f1.has_depth & pair_valid, f2.depth_map, T_init,
-        cfg.camera, cfg.icp,
+        f1.p3d, src_valid, f2.depth_map, T_init, cam, cfg.icp,
     )
 
 
@@ -99,6 +108,67 @@ def ricp_step(
             T12 = icp_res.T12
         elif not warm:
             T12 = jnp.eye(4)
+    T_cw2 = T12 @ f1.T_cw
+    return OdometryResult(
+        T_cw2=T_cw2,
+        T12=T12,
+        match_idx=m.target_idx,
+        inliers=res.inliers,
+        n_matches=jnp.sum(m.valid.astype(jnp.int32)),
+        n_inliers=res.n_inliers,
+        rmse=res.rmse,
+        ba_inliers=jnp.int32(0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def ricp_fused(
+    f1: FrameData,
+    f2: FrameData,
+    key: jnp.ndarray,
+    cfg: SystemConfig,
+) -> OdometryResult:
+    """ADAPTIVE_RICP as ONE device program: RANSAC, then — under
+    `lax.cond`, so only the taken branch executes — GICP refinement when
+    RANSAC quality is poor (inliers < 20 or rmse*10 >= 7; warm start from
+    the RANSAC transform unless rmse*10 >= 20, odometry.cpp:46-78).
+
+    Unlike the host-branch `ricp_step`, no scalar crosses to the host, so
+    the `slam+gicp` configuration keeps the engine's one-dispatch-per-frame
+    property (the escalation predicate is evaluated on device)."""
+    from aslam_tpu.ops import icp
+
+    cam = cfg.camera
+    m, pair_valid, res = ransac_step(f1, f2, key, cfg)
+
+    escalate = (res.n_inliers < cfg.icp.escalate_min_inliers) | (
+        res.rmse * 10.0 >= cfg.icp.escalate_rmse * 10.0
+    )
+    warm = res.rmse * 10.0 < cfg.icp.restart_rmse * 10.0
+    fallback = jnp.where(warm, res.T12, jnp.eye(4))
+
+    def refine(_):
+        T_init = fallback
+        src_valid = f1.has_depth & pair_valid
+        if cfg.icp.method == "gicp":
+            nm = icp.normal_map(
+                icp.backproject_depth(f1.depth_map, cam),
+                f1.depth_map > 0.05,
+            )
+            H, W = f1.depth_map.shape
+            xi = jnp.clip(jnp.round(f1.feat.xy[:, 0]).astype(jnp.int32),
+                          0, W - 1)
+            yi = jnp.clip(jnp.round(f1.feat.xy[:, 1]).astype(jnp.int32),
+                          0, H - 1)
+            src_n = nm[yi, xi]
+            icp_res = icp.gicp_refine(
+                f1.p3d, src_n, src_valid, f2.depth_map, T_init, cam, cfg.icp)
+        else:
+            icp_res = icp.icp_refine(
+                f1.p3d, src_valid, f2.depth_map, T_init, cam, cfg.icp)
+        return jnp.where(icp_res.converged, icp_res.T12, fallback)
+
+    T12 = jax.lax.cond(escalate, refine, lambda _: res.T12, None)
     T_cw2 = T12 @ f1.T_cw
     return OdometryResult(
         T_cw2=T_cw2,

@@ -134,6 +134,157 @@ def icp_refine(
     return ICPResult(T12=T, rmse=rmse, n_corr=n_corr, converged=converged)
 
 
+# ------------------------------------------------------------------ GICP
+
+def _plane_cov(n: jnp.ndarray, has_n: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Per-point plane-to-plane covariance C = R diag(eps,1,1) R^T =
+    I - (1-eps) n n^T for unit normal n (Segal's GICP surface model, the
+    distribution pcl::GeneralizedIterativeClosestPoint builds per point —
+    reference Odometry/generalizedicp.h:41).  Isotropic I where no normal
+    exists (degrades to point-to-point)."""
+    nnT = n[..., :, None] * n[..., None, :]
+    C = jnp.eye(3) - (1.0 - eps) * nnT
+    return jnp.where(has_n[..., None, None], C, jnp.eye(3))
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def gicp_refine(
+    src_pts: jnp.ndarray,      # [N,3] source camera-frame points
+    src_normals: jnp.ndarray,  # [N,3] source normals (0 where unknown)
+    src_valid: jnp.ndarray,    # [N] bool
+    target_depth: jnp.ndarray,  # [H,W] target frame depth (m)
+    T12_init: jnp.ndarray,     # [4,4] initial source->target transform
+    cam: CameraModel,
+    cfg: ICPConfig,
+) -> ICPResult:
+    """Plane-to-plane (generalized) ICP onto a target depth map: per-point
+    covariances C = R diag(eps,1,1) R^T on BOTH clouds, Gauss-Newton on the
+    Mahalanobis 3D residual d^T (C_q + R C_p R^T)^-1 d (replaces
+    pcl::GeneralizedIterativeClosestPoint, generalizedicp.cpp:65-89).
+    Association stays projective (TPU-native, no kd-tree)."""
+    H, W = target_depth.shape
+    eps = cfg.gicp_epsilon
+    tgt_valid = target_depth > 0.05
+    tgt_pts = backproject_depth(target_depth, cam)
+    tgt_n = normal_map(tgt_pts, tgt_valid)
+    src_has_n = jnp.sum(src_normals * src_normals, axis=-1) > 0.5
+
+    def corr_terms(T, max_d):
+        R = T[:3, :3]
+        p = src_pts @ R.T + T[:3, 3]                  # [N,3] in target cam
+        np_rot = src_normals @ R.T                    # rotated src normals
+        z = p[:, 2]
+        u = jnp.clip(jnp.round(cam.fx * p[:, 0] / jnp.maximum(z, 1e-6) + cam.cx
+                               ).astype(jnp.int32), 0, W - 1)
+        v = jnp.clip(jnp.round(cam.fy * p[:, 1] / jnp.maximum(z, 1e-6) + cam.cy
+                               ).astype(jnp.int32), 0, H - 1)
+        q = tgt_pts[v, u]
+        nq = tgt_n[v, u]
+        has_nq = jnp.sum(nq * nq, axis=-1) > 0.5
+        d = p - q
+        dist = jnp.linalg.norm(d, axis=-1)
+        ok = src_valid & (z > 0.05) & tgt_valid[v, u] & has_nq & (dist < max_d)
+        # combined covariance M = C_q + R C_p R^T; weight W = M^-1
+        M = _plane_cov(nq, has_nq, eps) + _plane_cov(np_rot, src_has_n, eps)
+        Wi = jnp.linalg.inv(M + 1e-6 * jnp.eye(3))
+        return p, d, Wi, ok, dist
+
+    def body(carry, _):
+        T, max_d = carry
+        p, d, Wi, ok, dist = corr_terms(T, max_d)
+        w = ok.astype(jnp.float32)
+        # J [N,3,6] = [I3, -skew(p')] for left twist [rho, phi]
+        N = p.shape[0]
+        J = jnp.zeros((N, 3, 6))
+        J = J.at[:, :, :3].set(jnp.eye(3))
+        J = J.at[:, 0, 4].set(p[:, 2]).at[:, 0, 5].set(-p[:, 1])
+        J = J.at[:, 1, 3].set(-p[:, 2]).at[:, 1, 5].set(p[:, 0])
+        J = J.at[:, 2, 3].set(p[:, 1]).at[:, 2, 4].set(-p[:, 0])
+        WJ = jnp.einsum("nij,njk->nik", Wi, J)
+        Hm = jnp.einsum("n,nri,nrj->ij", w, J, WJ) + 1e-6 * jnp.eye(6)
+        b = jnp.einsum("n,nri,nr->i", w, WJ, d)
+        xi = -chol_solve(Hm, b)
+        xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros(6))
+        T_new = se3_exp(xi) @ T
+        n_ok = jnp.maximum(jnp.sum(w), 1.0)
+        mean_d = jnp.sum(dist * w) / n_ok
+        new_max = jnp.clip(3.0 * mean_d, 0.01, 0.08)
+        return (T_new, new_max), None
+
+    init = (T12_init, jnp.asarray(cfg.max_corr_dist, jnp.float32))
+    (T, max_d), _ = jax.lax.scan(body, init, None, length=cfg.iterations)
+
+    p, d, Wi, ok, dist = corr_terms(T, max_d)
+    n_corr = jnp.sum(ok.astype(jnp.int32))
+    md = jnp.einsum("ni,nij,nj->n", d, Wi, d)
+    rmse = jnp.sqrt(
+        jnp.sum(jnp.where(ok, jnp.sum(d * d, -1), 0.0))
+        / jnp.maximum(n_corr, 1)
+    )
+    converged = (n_corr >= 10) & jnp.all(jnp.isfinite(T))
+    T = jnp.where(converged, T, T12_init)
+    return ICPResult(T12=T, rmse=rmse, n_corr=n_corr, converged=converged)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "iters"))
+def gicp_align_matched(
+    p1: jnp.ndarray,       # [N,3] source points (cam 1)
+    n1: jnp.ndarray,       # [N,3] source normals (0 = unknown)
+    p2: jnp.ndarray,       # [N,3] matched target points (cam 2)
+    n2: jnp.ndarray,       # [N,3] target normals
+    pair_valid: jnp.ndarray,  # [N] bool
+    T12_init: jnp.ndarray,
+    cfg: ICPConfig,
+    iters: int = 10,
+) -> ICPResult:
+    """GICP over FIXED correspondences (the reference's matched-keypoint-
+    cloud variant, generalizedicp.cpp:24-53: source/target clouds built
+    from RANSAC-inlier matches, then GICP refinement)."""
+    eps = cfg.gicp_epsilon
+    has1 = jnp.sum(n1 * n1, axis=-1) > 0.5
+    has2 = jnp.sum(n2 * n2, axis=-1) > 0.5
+    C2 = _plane_cov(n2, has2, eps)
+
+    def body(T, _):
+        R = T[:3, :3]
+        p = p1 @ R.T + T[:3, 3]
+        C1r = _plane_cov(n1 @ R.T, has1, eps)
+        Wi = jnp.linalg.inv(C2 + C1r + 1e-6 * jnp.eye(3))
+        d = p - p2
+        w = pair_valid.astype(jnp.float32)
+        N = p.shape[0]
+        J = jnp.zeros((N, 3, 6))
+        J = J.at[:, :, :3].set(jnp.eye(3))
+        J = J.at[:, 0, 4].set(p[:, 2]).at[:, 0, 5].set(-p[:, 1])
+        J = J.at[:, 1, 3].set(-p[:, 2]).at[:, 1, 5].set(p[:, 0])
+        J = J.at[:, 2, 3].set(p[:, 1]).at[:, 2, 4].set(-p[:, 0])
+        WJ = jnp.einsum("nij,njk->nik", Wi, J)
+        Hm = jnp.einsum("n,nri,nrj->ij", w, J, WJ) + 1e-6 * jnp.eye(6)
+        b = jnp.einsum("n,nri,nr->i", w, WJ, d)
+        xi = -chol_solve(Hm, b)
+        xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros(6))
+        return se3_exp(xi) @ T, None
+
+    T, _ = jax.lax.scan(body, T12_init, None, length=iters)
+    R = T[:3, :3]
+    d = (p1 @ R.T + T[:3, 3]) - p2
+    n_corr = jnp.sum(pair_valid.astype(jnp.int32))
+    rmse = jnp.sqrt(
+        jnp.sum(jnp.where(pair_valid, jnp.sum(d * d, -1), 0.0))
+        / jnp.maximum(n_corr, 1)
+    )
+    converged = (n_corr >= 10) & jnp.all(jnp.isfinite(T))
+    T = jnp.where(converged, T, T12_init)
+    return ICPResult(T12=T, rmse=rmse, n_corr=n_corr, converged=converged)
+
+
+def subset_mask(key: jnp.ndarray, valid: jnp.ndarray,
+                frac: float = 0.75) -> jnp.ndarray:
+    """Random point subset (the reference's ComputeSubset 75% variant,
+    generalizedicp.cpp:136-160): keep ~frac of the valid points."""
+    return valid & (jax.random.uniform(key, valid.shape) < frac)
+
+
 @functools.partial(jax.jit, static_argnames=("cell",))
 def voxel_downsample(pts: jnp.ndarray, valid: jnp.ndarray, cell: float = 0.03,
                      max_out: int | None = None):

@@ -1,0 +1,196 @@
+"""Plane-to-plane (generalized) ICP vs point-to-plane, and the fused
+device-resident ADAPTIVE_RICP policy (VERDICT missing #4 / weak #5).
+
+The reference wraps pcl::GeneralizedIterativeClosestPoint
+(generalizedicp.cpp:65-89): per-point covariances C = R diag(eps,1,1) R^T
+on both clouds.  Its value over point-to-plane shows on CURVED surfaces,
+where the locally-planar assumption of the target-only model degrades."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aslam_tpu.config import small_config
+from aslam_tpu.ops import icp
+from aslam_tpu.utils.se3 import se3_exp
+
+
+def _curved_depth(cam, T_cw, amp=0.35, base=2.0):
+    """Depth map of a smooth curved surface z = base + amp*sin products,
+    defined in WORLD coords and rendered exactly for pose T_cw by solving
+    the per-ray intersection with fixed-point iteration."""
+    H, W = cam.height, cam.width
+    v, u = np.mgrid[0:H, 0:W].astype(np.float64)
+    x = (u - cam.cx) / cam.fx
+    y = (v - cam.cy) / cam.fy
+    R, t = T_cw[:3, :3], T_cw[:3, 3]
+    C = -R.T @ t                        # camera center in world
+    d = np.stack([x, y, np.ones_like(x)], -1) @ R  # rays in world
+    s = np.full((H, W), base)           # ray parameter ~ depth scale
+    for _ in range(40):
+        P = C + s[..., None] * d
+        z_surf = base + amp * np.sin(1.3 * P[..., 0]) * np.cos(1.1 * P[..., 1])
+        # move s so that the point's world z hits the surface
+        s = s + (z_surf - P[..., 2]) / np.maximum(d[..., 2], 0.3)
+    P = C + s[..., None] * d
+    z_cam = (P - C) @ R.T[:, 2]  # camera-frame depth = s * d_cam_z = s
+    return np.maximum(z_cam, 0.0).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def curved_pair():
+    cam = small_config().camera
+    T1 = np.eye(4)
+    xi = np.array([0.03, -0.02, 0.025, 0.015, -0.02, 0.01], np.float32)
+    T12_true = np.asarray(se3_exp(jnp.asarray(xi)))
+    # T_cw2 = T12 @ T_cw1
+    T2 = T12_true @ T1
+    d1 = _curved_depth(cam, T1)
+    d2 = _curved_depth(cam, T2)
+    return cam, d1, d2, T12_true
+
+
+def _src_set(cam, depth, step=6):
+    pts = np.asarray(icp.backproject_depth(jnp.asarray(depth), cam))
+    nm = np.asarray(icp.normal_map(jnp.asarray(pts),
+                                   jnp.asarray(depth > 0.05)))
+    H, W = depth.shape
+    ys, xs = np.mgrid[4:H - 4:step, 4:W - 4:step]
+    p = pts[ys.ravel(), xs.ravel()]
+    n = nm[ys.ravel(), xs.ravel()]
+    valid = p[:, 2] > 0.05
+    return jnp.asarray(p), jnp.asarray(n), jnp.asarray(valid)
+
+
+def _pose_err(T, T_true):
+    E = np.linalg.inv(np.asarray(T)) @ T_true
+    return float(np.linalg.norm(E[:3, 3])), float(
+        np.arccos(np.clip((np.trace(E[:3, :3]) - 1) / 2, -1, 1)))
+
+
+def test_gicp_beats_point_to_plane_on_curved_surface(curved_pair):
+    cam, d1, d2, T12_true = curved_pair
+    cfg = small_config().icp
+    cfg = dataclasses.replace(cfg, iterations=15)
+    p, n, valid = _src_set(cam, d1)
+
+    res_p2p = icp.icp_refine(p, valid, jnp.asarray(d2), jnp.eye(4), cam, cfg)
+    res_gicp = icp.gicp_refine(p, n, valid, jnp.asarray(d2), jnp.eye(4),
+                               cam, cfg)
+    t_p2p, r_p2p = _pose_err(res_p2p.T12, T12_true)
+    t_gicp, r_gicp = _pose_err(res_gicp.T12, T12_true)
+    assert bool(res_gicp.converged)
+    # both should roughly recover the motion; GICP strictly better where
+    # the plane assumption degrades
+    assert t_gicp < 0.02, f"gicp err {t_gicp:.4f} m"
+    assert t_gicp <= t_p2p * 1.05, (
+        f"plane-to-plane ({t_gicp:.4f} m) should beat point-to-plane "
+        f"({t_p2p:.4f} m) on a curved surface"
+    )
+
+
+def test_gicp_recovers_exact_on_clean_transform(curved_pair):
+    """Warm start near truth converges to millimeters."""
+    cam, d1, d2, T12_true = curved_pair
+    cfg = small_config().icp
+    p, n, valid = _src_set(cam, d1)
+    res = icp.gicp_refine(p, n, valid, jnp.asarray(d2),
+                          jnp.asarray(T12_true), cam, cfg)
+    t_err, r_err = _pose_err(res.T12, T12_true)
+    assert t_err < 5e-3 and r_err < 5e-3
+
+
+def test_gicp_matched_variant():
+    """Fixed-correspondence GICP (the reference's matched-keypoint-cloud
+    variant, generalizedicp.cpp:24-53) recovers a known transform from
+    noisy matched pairs with normals."""
+    rng = np.random.default_rng(3)
+    N = 400
+    p1 = rng.uniform(-1, 1, (N, 3))
+    p1[:, 2] += 2.5
+    n1 = rng.normal(size=(N, 3))
+    n1 /= np.linalg.norm(n1, axis=1, keepdims=True)
+    xi = np.array([0.04, -0.03, 0.02, 0.02, 0.015, -0.01], np.float32)
+    T_true = np.asarray(se3_exp(jnp.asarray(xi)))
+    p2 = p1 @ T_true[:3, :3].T + T_true[:3, 3]
+    # anisotropic noise ALONG the normal (exactly what GICP downweights)
+    p2 = p2 + n1 * rng.normal(0, 0.02, (N, 1))
+    n2 = n1 @ T_true[:3, :3].T
+    cfg = small_config().icp
+    res = icp.gicp_align_matched(
+        jnp.asarray(p1), jnp.asarray(n1), jnp.asarray(p2), jnp.asarray(n2),
+        jnp.ones(N, bool), jnp.eye(4), cfg, iters=15)
+    t_err, r_err = _pose_err(res.T12, T_true)
+    # 2 cm noise ALONG normals leaves the along-normal direction weakly
+    # constrained by design — sub-1.5 cm recovery is the success criterion
+    assert t_err < 0.015 and r_err < 0.01, (t_err, r_err)
+
+
+def test_subset_mask_fraction():
+    key = jax.random.PRNGKey(0)
+    valid = jnp.ones(10_000, bool)
+    m = icp.subset_mask(key, valid, frac=0.75)
+    frac = float(jnp.mean(m.astype(jnp.float32)))
+    assert 0.7 < frac < 0.8
+
+
+def test_fused_ricp_single_dispatch_matches_host_policy():
+    """ricp_fused (lax.cond escalation) must agree with the host-branch
+    ricp_step on both sides of the predicate."""
+    from aslam_tpu.models import frame as fm
+    from aslam_tpu.models.extractor import init_adaptive_state
+    from aslam_tpu.models.odometry import ricp_fused, ricp_step
+    from aslam_tpu.utils import synthetic_hard as sh
+
+    cfg = small_config()
+    cam = cfg.camera
+    rng = np.random.default_rng(5)
+    scene = sh.room_scene(rng)
+    Ts = sh.loop_trajectory(80, rng=rng)[:2]
+    st = init_adaptive_state(cfg.extractor)
+    frames = []
+    for T in Ts:
+        img, dep, _ = sh.render(cam, T, scene, rng=rng)
+        f, st = fm.make_frame(jnp.asarray(img), jnp.asarray(dep), cfg, st)
+        frames.append(fm.with_pose(f, jnp.eye(4)))
+    key = jax.random.PRNGKey(9)
+    fused = ricp_fused(frames[0], frames[1], key, cfg)
+    host = ricp_step(frames[0], frames[1], key, cfg)
+    assert np.allclose(np.asarray(fused.T_cw2), np.asarray(host.T_cw2),
+                       atol=1e-5), "fused and host RICP policies diverge"
+
+
+def test_lost_motion_model_fallback():
+    """LOST without a relocalizer: constant-velocity extrapolation keeps
+    the trajectory finite and bounded instead of integrating garbage
+    (VERDICT weak #7)."""
+    from aslam_tpu.models.system import SlamSystem
+    from aslam_tpu.utils import synthetic
+
+    cfg = small_config()  # no loop closing -> no relocalizer
+    rng = np.random.default_rng(11)
+    pts = synthetic.random_scene(rng, 500)
+    poses = synthetic.camera_trajectory(10, step_t=0.04, rng=rng)
+    tex = synthetic.point_textures(500, seed=12)
+    slam = SlamSystem(cfg)
+    lost_frames = []
+    for i, T in enumerate(poses):
+        if 4 <= i <= 6:  # sensor blackout
+            img = np.zeros((cfg.camera.height, cfg.camera.width), np.float32)
+            dep = np.zeros_like(img)
+        else:
+            img = synthetic.render_intensity_image(cfg.camera, T, pts, tex)
+            dep = synthetic.render_depth_image(cfg.camera, T, pts, splat=4)
+        Tout, info = slam.process(img, dep, t=i * 0.033)
+        if info.get("motion_model"):
+            lost_frames.append(i)
+        assert np.isfinite(Tout).all()
+    assert lost_frames, "blackout frames should trigger the motion model"
+    # velocity stays bounded during the blackout (no pose explosions)
+    P = np.stack(slam.tracking.poses)
+    centers = np.stack([np.linalg.inv(T)[:3, 3] for T in P])
+    steps = np.linalg.norm(np.diff(centers, axis=0), axis=1)
+    assert steps.max() < 0.5, f"pose jumped {steps.max():.2f} m while LOST"

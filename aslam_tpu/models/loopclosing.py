@@ -273,8 +273,10 @@ class LoopClosing:
     TRAIN_CAP = 20_000
 
     def __init__(self, cfg: SystemConfig, train_after_kfs: int = 4,
-                 vocab_path: str = "", refresh_factor: float = 4.0):
+                 vocab_path: str = "", refresh_factor: float = 4.0,
+                 verbose: bool = False):
         self.cfg = cfg
+        self.verbose = verbose
         self.db = init_database(cfg)
         self.vocab: bow.Vocabulary | None = None
         if vocab_path:
@@ -364,6 +366,11 @@ class LoopClosing:
         cands = np.asarray(cands)
         groups = np.asarray(groups)
         kf_ids = np.asarray(m.kf_id)
+        if self.verbose:
+            print(f"  [lc] kf_id={kf_id} slot={slot} cands={cands.tolist()} "
+                  f"scores={np.asarray(scores).round(4).tolist()} "
+                  f"streak={[c for _, c in self.consistent_groups]}",
+                  flush=True)
         if (cands < 0).all():
             self.consistent_groups = []  # detection streak broken
             return m
@@ -396,6 +403,9 @@ class LoopClosing:
             T_qc, n_inl, ok = verify_loop(
                 self.db, m, slot_j, jnp.int32(cand_i), sub, cfg
             )
+            if self.verbose:
+                print(f"  [lc] verify kf_id={kf_id} cand_slot={cand_i} "
+                      f"inl={int(n_inl)} ok={bool(ok)}", flush=True)
             if bool(ok):
                 break
         else:

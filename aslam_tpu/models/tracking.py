@@ -113,7 +113,10 @@ def track_local_map(
         )[:M]
     assoc2 = jnp.where(assoc >= 0, assoc, assoc2)
 
-    # 4. pose-only BA over all bound landmarks (tracking.cpp:239)
+    # 4. pose-only BA over all bound landmarks (tracking.cpp:239).  With
+    #    too few observations the 6-DoF solve is under-constrained and can
+    #    throw the pose: keep the odometry pose unless >= 10 bindings
+    #    support the refinement.
     lm_idx = jnp.where(assoc2 >= 0, assoc2, 0)
     pts_w = m.lm_pos[lm_idx]
     obs_valid = (assoc2 >= 0) & m.lm_valid[lm_idx] & frame.feat.valid
@@ -121,6 +124,8 @@ def track_local_map(
         frame.T_cw, pts_w, frame.xy_und, frame.ur, frame.depth,
         obs_valid, cam, cfg.ba,
     )
+    enough = jnp.sum(obs_valid.astype(jnp.int32)) >= 10
+    T_out = jnp.where(enough, res.T_cw, frame.T_cw)
 
     # 5. drop outlier bindings (DiscardOutliers/CleanVOmatches semantics)
     assoc_final = jnp.where(obs_valid & res.inliers, assoc2, -1)
@@ -130,7 +135,7 @@ def track_local_map(
         jnp.where(assoc_final >= 0, assoc_final, L)
     ].set(True)[:L]
     return LocalMapResult(
-        T_cw=res.T_cw,
+        T_cw=T_out,
         assoc=assoc_final,
         n_tracked=jnp.sum((assoc_final >= 0).astype(jnp.int32)),
         visible_mask=cand | found,
@@ -212,8 +217,17 @@ def track_step(
 
     Returns (map', pose T_cw, assoc, stats[6] =
     [n_tracked, n_matches, ransac_inliers, kf_dist, kf_rot, rmse]).
+
+    With cfg.use_gicp the odometry stage is the fused ADAPTIVE_RICP policy
+    (RANSAC -> lax.cond GICP escalation, models/odometry.py:ricp_fused) —
+    still one dispatch, no host scalar reads (VERDICT weak #5).
     """
-    odo = rba_step(last_frame, frame, key, cfg)
+    if cfg.use_gicp:
+        from aslam_tpu.models.odometry import ricp_fused
+
+        odo = ricp_fused(last_frame, frame, key, cfg)
+    else:
+        odo = rba_step(last_frame, frame, key, cfg)
     frame = frame_mod.with_pose(frame, odo.T_cw2)
     assoc = carry_associations(last_assoc, odo.match_idx, odo.inliers)
     lm_res = track_local_map(m, frame, assoc, cfg)
@@ -294,35 +308,15 @@ class Tracking:
             info["n_tracked"] = int(jnp.sum(assoc >= 0))
         else:
             self.key, sub = jax.random.split(self.key)
-            if cfg.use_gicp:
-                # ADAPTIVE_RICP policy (odometry.cpp:46-78): the escalation
-                # branch needs scalar reads, so this path keeps separate
-                # dispatches
-                from aslam_tpu.models.odometry import ricp_step
-
-                odo = ricp_step(self.last_frame, frame, sub, cfg)
-                frame = frame_mod.with_pose(frame, odo.T_cw2)
-                assoc = carry_associations(self.last_assoc, odo.match_idx,
-                                           odo.inliers)
-                lm_res = track_local_map(self.map, frame, assoc, cfg)
-                frame = frame_mod.with_pose(frame, lm_res.T_cw)
-                assoc = lm_res.assoc
-                self.map = update_lm_stats(self.map, lm_res.visible_mask,
-                                           lm_res.found_mask)
-                dt_j, dr_j = pose_distance(jnp.asarray(self.last_kf_T),
-                                           frame.T_cw)
-                stats = np.asarray([
-                    int(lm_res.n_tracked), int(odo.n_matches),
-                    int(odo.n_inliers), float(dt_j), float(dr_j),
-                    float(odo.rmse),
-                ])
-            else:
-                self.map, T_cw, assoc, stats_j = track_step(
-                    self.map, self.last_frame, self.last_assoc, frame,
-                    jnp.asarray(self.last_kf_T), sub, cfg,
-                )
-                stats = np.asarray(stats_j)  # the one per-frame sync
-                frame = frame_mod.with_pose(frame, T_cw)
+            # one fused dispatch for both policies: ADAPTIVE_RBA, or
+            # ADAPTIVE_RICP with the GICP escalation under lax.cond
+            # (odometry.cpp:46-78) when cfg.use_gicp
+            self.map, T_cw, assoc, stats_j = track_step(
+                self.map, self.last_frame, self.last_assoc, frame,
+                jnp.asarray(self.last_kf_T), sub, cfg,
+            )
+            stats = np.asarray(stats_j)  # the one per-frame sync
+            frame = frame_mod.with_pose(frame, T_cw)
 
             n_tracked = int(stats[0])
             info.update(
@@ -331,9 +325,25 @@ class Tracking:
                 ransac_inliers=int(stats[2]),
             )
 
-            # LOST handling + relocalization (the reference declares the
-            # LOST state but never sets or recovers it, SURVEY.md §5)
-            if n_tracked < cfg.tracking.min_matches_tracked:
+            # State machine (the reference declares LOST but never sets or
+            # recovers it, SURVEY.md §5).  Two distinct failure modes:
+            #
+            #   WEAK — local-map tracking found < min_matches_tracked
+            #          bindings but frame-to-frame odometry is healthy
+            #          (RANSAC inliers >= the reference's own success bar,
+            #          ransac min_inliers, odometry.cpp:14).  The camera is
+            #          entering unmapped territory: keep integrating the
+            #          odometry pose and KEEP inserting keyframes so the
+            #          map grows into it.  Discarding the pose here (or
+            #          blocking keyframes) death-spirals: no new landmarks
+            #          -> local map stays empty -> permanent loss.
+            #   LOST — odometry itself failed (sensor dropout, blur, no
+            #          depth): relocalize, else motion-model + re-acquire.
+            n_inliers = int(stats[2])
+            odo_ok = n_inliers >= cfg.ransac.min_inliers
+            if n_tracked < cfg.tracking.min_matches_tracked and odo_ok:
+                self.state = "WEAK"
+            elif n_tracked < cfg.tracking.min_matches_tracked:
                 self.state = "LOST"
                 if self.relocalizer is not None:
                     T_reloc = self.relocalizer.relocalize(self.map, frame)
@@ -342,6 +352,29 @@ class Tracking:
                         assoc = jnp.full_like(assoc, -1)
                         self.state = "OK"
                         info["relocalized"] = True
+                if (self.state == "LOST"
+                        and cfg.tracking.lost_policy == "motion_model"
+                        and len(self.poses) >= 2):
+                    # no relocalizer (or it failed): don't integrate the
+                    # garbage estimate — substitute constant-velocity
+                    # extrapolation, then try to RE-ACQUIRE map bindings at
+                    # the predicted pose (pose-nearest KFs + wide projection
+                    # search).  Without this the covisibility vote in
+                    # track_local_map has no seed associations and the
+                    # system would stay LOST forever.
+                    T_pred = (self.poses[-1]
+                              @ np.linalg.inv(self.poses[-2])
+                              @ self.poses[-1])
+                    frame = frame_mod.with_pose(frame, jnp.asarray(T_pred))
+                    T_b, assoc_b, n_b = bootstrap_track(self.map, frame, cfg)
+                    if int(n_b) >= cfg.tracking.min_matches_tracked:
+                        frame = frame_mod.with_pose(frame, T_b)
+                        assoc = assoc_b
+                        self.state = "OK"
+                        info["reacquired"] = True
+                    else:
+                        assoc = jnp.full_like(assoc, -1)
+                        info["motion_model"] = True
             else:
                 self.state = "OK"
 
@@ -351,9 +384,9 @@ class Tracking:
                 stats[3] > cfg.tracking.kf_min_trans
                 or stats[4] > cfg.tracking.kf_min_rot
             )
-            if info.get("relocalized"):
-                # the pre-reloc pose delta is meaningless; re-establish
-                # tracking before spending a keyframe
+            if info.get("relocalized") or self.state == "LOST":
+                # the pre-reloc pose delta is meaningless, and a LOST frame
+                # must not spend a keyframe on an extrapolated pose
                 need = False
             if need and self.n_kfs < cfg.map.max_keyframes:
                 assoc = self._insert_keyframe(

@@ -188,13 +188,27 @@ def ba_iterate(
     prob: BAProblem, cam: CameraModel, cfg: BAConfig,
     iters: int, robust: bool, lam: float = 1e-4,
 ) -> BAProblem:
-    def body(_, p):
-        Hcc, bc, Hll, bl, W, _ = assemble(p, cam, cfg, robust)
+    """Monotone Levenberg-Marquardt: a step that INCREASES chi2 is rejected
+    and the damping raised (g2o's accept/reject schedule, which the
+    reference delegates to — localbundleadjustment.cpp:66-74).  Costs one
+    extra assemble per iteration; prevents divergent steps on
+    ill-conditioned windows (ambiguous texture, marginal parallax)."""
+
+    def body(_, carry):
+        p, lam = carry
+        Hcc, bc, Hll, bl, W, chi2_0 = assemble(p, cam, cfg, robust)
         dxc, dxl = schur_solve(Hcc, bc, Hll, bl, W, p.cam_fixed,
                                p.point_valid, lam)
-        return apply_update(p, dxc, dxl)
+        p_new = apply_update(p, dxc, dxl)
+        *_, chi2_1 = assemble(p_new, cam, cfg, robust)
+        ok = chi2_1 < chi2_0
+        p = jax.tree.map(lambda a, b: jnp.where(ok, a, b), p_new, p)
+        lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-7),
+                        jnp.minimum(lam * 8.0, 1e2))
+        return (p, lam)
 
-    return jax.lax.fori_loop(0, iters, body, prob)
+    p, _ = jax.lax.fori_loop(0, iters, body, (prob, jnp.asarray(lam)))
+    return p
 
 
 def prune_outlier_edges(prob: BAProblem, cam: CameraModel, cfg: BAConfig) -> BAProblem:

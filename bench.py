@@ -163,18 +163,15 @@ def main():
             f"prefetched uploads)")
         best_fps = max(best_fps, chunk_fps)
     fps = best_fps
-    # the metric line goes out FIRST: the relay's device-to-host read path
-    # can hang or abort for minutes, and the benchmark result must not be
-    # hostage to it (the timed passes used completion barriers only)
-    print(json.dumps({
-        "metric": "tracking_fps_per_chip",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / REFERENCE_FPS, 3),
-    }), flush=True)
 
-    # best-effort sanity readback with a watchdog
+    # sanity readback BEFORE the metric line: the fps number only counts as
+    # verified if the same run's output can be checked against ground truth
+    # (VERDICT round-1 weak #4).  The relay's device-to-host path can hang
+    # for minutes, so the read runs under a watchdog; on timeout the metric
+    # still goes out, but marked "verified": false.
     import threading
+
+    sanity = {"verified": False, "ate_cm": None}
 
     def _read():
         try:
@@ -188,14 +185,30 @@ def main():
             log(f"pass-0 ATE vs ground truth (on-device): {ate * 100:.2f} cm")
             log(f"last frame: inliers={int(res.n_inliers)} "
                 f"matches={int(res.n_matches)}")
+            sanity["ate_cm"] = round(ate * 100, 3)
+            # the run is sane if the streamed trajectory actually tracked
+            sanity["verified"] = ate < 0.10
         except Exception as e:
             log(f"sanity readback failed (relay d2h): {e}")
 
     t = threading.Thread(target=_read, daemon=True)
     t.start()
-    t.join(timeout=60.0)
-    if t.is_alive():
-        log("sanity readback timed out (relay d2h hang) — metric unaffected")
+    t.join(timeout=90.0)
+    hung = t.is_alive()
+    if hung:
+        log("sanity readback timed out (relay d2h hang) — "
+            "metric marked unverified")
+
+    print(json.dumps({
+        "metric": "tracking_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 3),
+        "verified": bool(sanity["verified"]),
+        "ate_cm": sanity["ate_cm"],
+    }), flush=True)
+
+    if hung:
         # a thread stuck inside the runtime breaks interpreter teardown
         # ("FATAL: exception not rethrown"); exit hard with success — the
         # metric line is already flushed

@@ -266,6 +266,11 @@ class LoopConfig:
     consistency_th: int = 3
     # verify the top-N database candidates, not just the argmax
     top_candidates: int = 3
+    # BoW-guided matching buckets by ancestor tree nodes this many levels
+    # above the leaf (the reference's FeatureVector uses level-up-4 nodes of
+    # a 6-level DBoW3 tree, frame.cpp:187; 0 = exact leaf equality, which
+    # is over-strict — a one-bit descriptor change can flip the leaf)
+    match_node_levels: int = 1
 
 
 @dataclass(frozen=True)

@@ -123,11 +123,18 @@ def bow_guided_match(
     words_b: jnp.ndarray, desc_b: jnp.ndarray, valid_b: jnp.ndarray,
     cfg: SystemConfig,
 ) -> matching.Matches:
-    """Word-bucketed descriptor match with TH_LOW + BoW ratio test
+    """Node-bucketed descriptor match with TH_LOW + BoW ratio test
     (Matcher::BoWMatch semantics, matcher.cpp:147-210): candidates must
-    share a vocabulary word, expressed as a mask on the distance matrix."""
+    share an ANCESTOR TREE NODE, expressed as a mask on the distance
+    matrix.  The reference buckets by the FeatureVector's level-up-4 nodes
+    of a deep DBoW3 tree (frame.cpp:187), not by leaf equality — leaf
+    equality is over-strict for matching (a one-bit descriptor change can
+    flip the leaf).  cfg.loop.match_node_levels ancestor levels above the
+    leaf are used (0 = exact leaf)."""
     d = masked_distance_matrix(desc_a, valid_a, desc_b, valid_b)
-    same_word = words_a[:, None] == words_b[None, :]
+    div = cfg.loop.vocab_branching ** min(
+        cfg.loop.match_node_levels, cfg.loop.vocab_depth - 1)
+    same_word = (words_a[:, None] // div) == (words_b[None, :] // div)
     d = jnp.where(same_word, d, INVALID_DIST)
     neg, idx = jax.lax.top_k(-d, 2)
     d1, i1, d2 = -neg[:, 0], idx[:, 0], -neg[:, 1]

@@ -1,0 +1,143 @@
+"""Adaptive-extractor value demonstration (the reference's headline
+feature, Features/videodynamicadaptedfeaturedetector.cpp:24-44 +
+videogridadaptedfeaturedetector.cpp): on a texture-varying stream the 3x3
+per-cell threshold controllers must hold the keypoint count inside the
+[600, 1020] regulation band while a static-threshold extractor starves on
+low-contrast frames and floods on high-contrast ones.
+
+Stream: the hard-synthetic room loop with a contrast envelope swept from
+0.12 (washed out — static FAST-20 starves) through 1.0 to 2.2
+(high-contrast + noise — static floods past the cap before top-k).
+
+Also measures tracking ATE on the low-contrast half with ADAPTIVE on vs
+off: regulation should preserve enough features to keep VO accurate.
+
+Usage: JAX_PLATFORMS=cpu python scripts/adaptive_bench.py [--small]
+Writes docs/ADAPTIVE_STUDY.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from aslam_tpu.config import TUM_FR1, SystemConfig, small_config  # noqa: E402
+from aslam_tpu.models import frame as frame_mod  # noqa: E402
+from aslam_tpu.models.extractor import init_adaptive_state  # noqa: E402
+from aslam_tpu.models.odometry import rba_step  # noqa: E402
+from aslam_tpu.utils import synthetic_hard as sh  # noqa: E402
+from aslam_tpu.utils import trajectory  # noqa: E402
+
+
+def contrast_envelope(n: int) -> np.ndarray:
+    """Sweep: low -> nominal -> high -> nominal -> low."""
+    t = np.linspace(0.0, 1.0, n)
+    return 0.12 + (2.2 - 0.12) * 0.5 * (1 - np.cos(2 * np.pi * t))
+
+
+def apply_contrast(img: np.ndarray, c: float, rng) -> np.ndarray:
+    out = 128.0 + (img - 128.0) * c
+    if c > 1.5:  # high-gain frames carry amplified sensor noise
+        out = out + rng.normal(0, 3.0 * (c - 1.0), img.shape)
+    return np.clip(out, 0, 255).astype(np.float32)
+
+
+def run_stream(cfg: SystemConfig, imgs, depths, gt, tag: str):
+    st = init_adaptive_state(cfg.extractor)
+    key = jax.random.PRNGKey(0)
+    counts = []
+    poses = [np.eye(4)]
+    f_prev = None
+    for i in range(len(imgs)):
+        f, st = frame_mod.make_frame(jnp.asarray(imgs[i]),
+                                     jnp.asarray(depths[i]), cfg, st)
+        counts.append(int(jnp.sum(f.feat.valid)))
+        if f_prev is None:
+            f_prev = frame_mod.with_pose(f, jnp.eye(4))
+            continue
+        key, sub = jax.random.split(key)
+        res = rba_step(f_prev, f, sub, cfg)
+        f_prev = frame_mod.with_pose(f, res.T_cw2)
+        poses.append(np.asarray(res.T_cw2))
+    gt_c = np.stack([np.linalg.inv(T)[:3, 3] for T in gt])
+    est_c = np.stack([np.linalg.inv(T)[:3, 3] for T in poses])
+    ate = trajectory.ate_rmse(est_c, gt_c)
+    counts = np.asarray(counts)
+    print(f"[{tag}] kp count: min={counts.min()} p10={np.percentile(counts, 10):.0f} "
+          f"median={np.median(counts):.0f} p90={np.percentile(counts, 90):.0f} "
+          f"max={counts.max()}  ATE={ate:.4f} m", flush=True)
+    return counts, ate
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=80)
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--out", default="docs/ADAPTIVE_STUDY.md")
+    args = ap.parse_args(argv)
+
+    cfg = small_config() if args.small else SystemConfig(camera=TUM_FR1)
+    rng = np.random.default_rng(1)
+    imgs, depths, gt = sh.make_hard_sequence(
+        cfg.camera, kind="sweep", n_frames=args.frames, seed=1,
+        illum_period=1e9)  # contrast is OUR variable here
+    env = contrast_envelope(args.frames)
+    imgs = np.stack([apply_contrast(imgs[i], env[i], rng)
+                     for i in range(args.frames)])
+    print(f"rendered {args.frames} frames, contrast {env.min():.2f}.."
+          f"{env.max():.2f}", flush=True)
+
+    adaptive_cfg = cfg
+    static_cfg = cfg.replace(
+        extractor=dataclasses.replace(cfg.extractor, adaptive=False))
+
+    c_adap, ate_adap = run_stream(adaptive_cfg, imgs, depths, gt, "adaptive")
+    c_stat, ate_stat = run_stream(static_cfg, imgs, depths, gt, "static")
+
+    lo, hi = cfg.extractor.adaptive_min, cfg.extractor.adaptive_max
+    settle = 5  # controller needs a few frames to adapt
+    in_band_a = np.mean((c_adap[settle:] >= lo * 0.8)
+                        & (c_adap[settle:] <= hi * 1.2))
+    in_band_s = np.mean((c_stat[settle:] >= lo * 0.8)
+                        & (c_stat[settle:] <= hi * 1.2))
+    starve_s = np.mean(c_stat[settle:] < lo // 2)
+    print(f"in-band: adaptive {in_band_a:.0%} vs static {in_band_s:.0%}; "
+          f"static starved (<{lo // 2} kp) on {starve_s:.0%} of frames")
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write(
+            "# Adaptive extractor study\n\n"
+            f"Texture-varying stream ({args.frames} frames, contrast swept "
+            f"{env.min():.2f} -> {env.max():.2f} -> {env.min():.2f}); "
+            "3x3 per-cell threshold controllers (x0.7 / x1.3, band "
+            f"[{lo},{hi}]) vs static FAST threshold "
+            f"{cfg.extractor.fast_threshold}.  Generated by "
+            "scripts/adaptive_bench.py.\n\n"
+            "| extractor | kp min | kp p10 | kp median | kp p90 | kp max | "
+            "in regulation band | VO ATE (m) |\n|---|---|---|---|---|---|---|---|\n")
+        for tag, c, ate, band in [
+            ("adaptive", c_adap, ate_adap, in_band_a),
+            ("static", c_stat, ate_stat, in_band_s),
+        ]:
+            f.write(f"| {tag} | {c[settle:].min()} | "
+                    f"{np.percentile(c[settle:], 10):.0f} | "
+                    f"{np.median(c[settle:]):.0f} | "
+                    f"{np.percentile(c[settle:], 90):.0f} | "
+                    f"{c[settle:].max()} | {band:.0%} | {ate:.4f} |\n")
+        f.write(f"\nStatic starves (<{lo // 2} keypoints) on "
+                f"{starve_s:.0%} of post-settle frames.\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

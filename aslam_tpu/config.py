@@ -251,8 +251,12 @@ class LoopConfig:
     LoopClosing/loopclosing.cpp; correction designed here — the reference
     never finished it, loopclosing.cpp:95-131)."""
 
+    # 10^4 words: the vocabulary study (docs/VOCAB_STUDY.md) measured loop
+    # average precision 0.39 at 10^4 vs 0.26 at 10^3 on ground-truth
+    # revisits (the reference loads a ~10^6-word DBoW3 artifact absent from
+    # its repo, main.cpp:67)
     vocab_branching: int = 10
-    vocab_depth: int = 3            # 10^3 = 1000 words
+    vocab_depth: int = 4
     min_score: float = 0.06         # loopclosing.cpp:75
     min_kf_gap: int = 10            # loopclosing.cpp:68
     word_fraction: float = 0.8      # keyframedatabase.cpp:87
@@ -311,4 +315,5 @@ def small_config() -> SystemConfig:
         ba=BAConfig(max_window_cams=8, max_fixed_cams=8,
                     max_window_points=512, max_edges=1024),
         map=MapConfig(max_keyframes=32, max_landmarks=2048),
+        loop=LoopConfig(vocab_branching=10, vocab_depth=3),
     )

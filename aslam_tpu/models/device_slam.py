@@ -88,7 +88,13 @@ def slam_step(
     frame, new_grid = frame_mod._make_frame_impl(
         img, depth, state.grid_thresholds, cfg, height, width)
 
-    odo = rba_step(state.last_frame, frame, key, cfg)
+    if cfg.use_gicp:
+        # ADAPTIVE_RICP: GICP escalation under lax.cond, still one program
+        from aslam_tpu.models.odometry import ricp_fused
+
+        odo = ricp_fused(state.last_frame, frame, key, cfg)
+    else:
+        odo = rba_step(state.last_frame, frame, key, cfg)
     frame = frame_mod.with_pose(frame, odo.T_cw2)
     assoc = carry_associations(state.last_assoc, odo.match_idx, odo.inliers)
     lm_res = track_local_map(state.m, frame, assoc, cfg)

@@ -41,7 +41,7 @@ from aslam_tpu.utils import trajectory  # noqa: E402
 def contrast_envelope(n: int) -> np.ndarray:
     """Sweep: low -> nominal -> high -> nominal -> low."""
     t = np.linspace(0.0, 1.0, n)
-    return 0.12 + (2.2 - 0.12) * 0.5 * (1 - np.cos(2 * np.pi * t))
+    return 0.045 + (2.4 - 0.045) * 0.5 * (1 - np.cos(2 * np.pi * t))
 
 
 def apply_contrast(img: np.ndarray, c: float, rng) -> np.ndarray:

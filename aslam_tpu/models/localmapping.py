@@ -300,10 +300,14 @@ class LocalMapping:
             prob, _ = lba.local_ba(prob, cfg.camera, cfg.ba)
             m = write_back(m, spec, prob, lw_ids, cfg)
 
-        # 5. keyframe culling (one scalar readback per keyframe — KF rate,
-        # not frame rate)
-        m, cull = ms.keyframe_culling(m, slot_j, cfg)
-        if bool(cull.culled):
+        # 5. keyframe culling (scalar readbacks at KF rate, not frame rate).
+        # The device kernel removes one victim per call; the reference's
+        # pass can erase several redundant KFs (localmapping.cpp:196-238),
+        # so loop until no victim remains, bounded to 3 per insertion.
+        for _ in range(3):
+            m, cull = ms.keyframe_culling(m, slot_j, cfg)
+            if not bool(cull.culled):
+                break
             self.culled[int(cull.kf_id)] = (
                 int(cull.parent_kf_id), np.asarray(cull.T_cp),
             )

@@ -84,13 +84,26 @@ def init_map(cfg: SystemConfig) -> MapState:
 # ---------------------------------------------------------------- derived
 
 def observation_counts(m: MapState) -> jnp.ndarray:
-    """[L] int32: number of keyframe observations per landmark (the
-    reference's nObs, recomputed; landmark.cpp:69-80 counts stereo obs
-    twice — we count edges, thresholds adjusted accordingly)."""
+    """[L] int32: number of observing KEYFRAMES per landmark (used for
+    covisibility-style logic; for the reference's doubled nObs statistic
+    see observation_counts_weighted)."""
     L = m.lm_pos.shape[0]
     ids = jnp.where(m.kf_kp_valid & m.kf_valid[:, None], m.kf_lm, -1)
     flat = jnp.where(ids >= 0, ids, L).reshape(-1)
     return jnp.zeros((L + 1,), jnp.int32).at[flat].add(1)[:L]
+
+
+def observation_counts_weighted(m: MapState) -> jnp.ndarray:
+    """[L] int32: the reference's nObs statistic — observations with valid
+    depth count TWICE (pseudo-stereo = two constraints, landmark.cpp:69-80);
+    monocular observations count once.  Used by landmark culling so the
+    obs<=3 rule matches reference behavior exactly: one stereo observation
+    (nObs=2) dies, two stereo observations (nObs=4) survive."""
+    L = m.lm_pos.shape[0]
+    ids = jnp.where(m.kf_kp_valid & m.kf_valid[:, None], m.kf_lm, -1)
+    w = jnp.where(m.kf_z > 0, 2, 1).astype(jnp.int32)
+    flat = jnp.where(ids >= 0, ids, L).reshape(-1)
+    return jnp.zeros((L + 1,), jnp.int32).at[flat].add(w.reshape(-1))[:L]
 
 
 def incidence(m: MapState) -> jnp.ndarray:
@@ -219,14 +232,16 @@ def create_landmarks(
 def landmark_culling(m: MapState, current_kf_id: jnp.ndarray,
                      cfg: SystemConfig) -> MapState:
     """Reference rule (localmapping.cpp:110-134): kill landmarks with
-    found/visible ratio < 0.25, or with <= `cull_min_obs` observations
-    more than 2 KFs after creation."""
-    obs = observation_counts(m)
+    found/visible ratio < 0.25, or with nObs <= `cull_min_obs` more than
+    2 KFs after creation — nObs counts depth observations TWICE
+    (landmark.cpp:69-80), so one stereo observation dies and two
+    survive, exactly as in the reference."""
+    obs = observation_counts_weighted(m)
     found_ratio = m.lm_found / jnp.maximum(m.lm_visible, 1)
     seen = m.lm_visible > 0
     bad_ratio = seen & (found_ratio < cfg.map.cull_found_ratio)
     mature = (current_kf_id - m.lm_first_kf) >= 2
-    bad_obs = mature & (obs <= cfg.map.cull_min_obs - 1)
+    bad_obs = mature & (obs <= cfg.map.cull_min_obs)
     keep = m.lm_valid & ~(bad_ratio | bad_obs)
     # unbind culled landmarks from keyframe slots
     culled_lookup = jnp.concatenate([keep, jnp.ones((1,), bool)])

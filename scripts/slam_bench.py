@@ -19,6 +19,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=65)
     ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--gicp", action="store_true",
+                    help="ADAPTIVE_RICP policy (fused lax.cond GICP "
+                         "escalation) instead of ADAPTIVE_RBA")
     args = ap.parse_args()
 
     import jax
@@ -30,8 +33,8 @@ def main():
 
     cam = CameraModel(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
                       width=640, height=480)
-    cfg = SystemConfig(camera=cam)
-    print("devices:", jax.devices(), flush=True)
+    cfg = SystemConfig(camera=cam, use_gicp=args.gicp)
+    print("devices:", jax.devices(), "gicp:", args.gicp, flush=True)
     print("rendering...", flush=True)
     imgs, depths, poses, _ = synthetic.make_sequence(
         n_frames=args.frames, n_points=1500, cam=cam, seed=7)

@@ -135,3 +135,38 @@ def test_refresh_descriptors_picks_medoid():
         np.testing.assert_array_equal(
             np.asarray(m2.lm_desc[a[i]]), feats[i]
         )
+
+
+def test_landmark_culling_stereo_counts_double():
+    """Reference nObs semantics (landmark.cpp:69-80, localmapping.cpp:122-128):
+    depth observations count twice toward the obs<=3 maturity cull — one
+    stereo observation (nObs=2) dies, two stereo observations (nObs=4)
+    survive."""
+    cfg = small_config()
+    m = ms.init_map(cfg)
+    f = make_test_frame(cfg)
+    M = cfg.extractor.max_keypoints
+    assoc = jnp.full((M,), -1, jnp.int32)
+    m = ms.insert_keyframe(m, f, assoc, jnp.int32(0), jnp.int32(0))
+    m, assoc, n = ms.create_landmarks(
+        m, f, assoc, jnp.int32(0), jnp.int32(0),
+        max_new=M, th_depth=float(cfg.camera.th_depth),
+    )
+    # landmark 0 observed (with depth) by a second keyframe too
+    feat0 = int(np.nonzero(np.asarray(assoc) == 0)[0][0])
+    assoc2 = np.full(M, -1, np.int32)
+    assoc2[feat0] = 0
+    m = ms.insert_keyframe(m, f, jnp.asarray(assoc2), jnp.int32(1),
+                           jnp.int32(1))
+
+    obs2 = np.asarray(ms.observation_counts_weighted(m))
+    assert obs2[0] == 4          # two stereo observations
+    single = np.asarray(assoc) >= 0
+    single[feat0] = False
+
+    # mature cull (>=2 KFs after creation): nObs=2 single-stereo landmarks
+    # die, the nObs=4 landmark survives
+    m3 = ms.landmark_culling(m, jnp.int32(4), cfg)
+    valid = np.asarray(m3.lm_valid)
+    assert bool(valid[0])
+    assert not valid[np.asarray(assoc)[np.nonzero(single)[0]]].any()

@@ -44,6 +44,13 @@ class SlamSystem:
                 self.tracking.map = self.loop_closing.process_keyframe(
                     self.tracking.map, slot, kf_id
                 )
+            # local BA / loop correction moved the reference KF: refresh
+            # the tracker's copy so the keyframe-trigger distance and the
+            # recorded relative poses T_cr are measured against the KF's
+            # CURRENT pose (the reference reads mpReferenceKF->GetPose()
+            # fresh per frame, tracking.cpp:544-582)
+            self.tracking.last_kf_T = np.asarray(
+                self.tracking.map.kf_T_cw[slot])
         return T, info
 
     def new_sequence(self) -> None:

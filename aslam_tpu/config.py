@@ -205,6 +205,13 @@ class BAConfig:
     lambda_init: float = 1e-4
     lambda_up: float = 10.0
     lambda_down: float = 0.1
+    # measurement information model for reprojection residuals:
+    #   "inv_z2"   — I/z² (the reference's choice, pnpsolver.cpp:74-75)
+    #   "constant" — identity (pixel noise is ~constant in pixels; this is
+    #                what ORB-SLAM2's per-octave invSigma2 reduces to at a
+    #                single scale, and it avoids 1/z² letting the few
+    #                closest landmarks dominate the normal equations)
+    info_model: str = "inv_z2"
     # local-BA padded capacities (static shapes).  max_window_points is the
     # COMPACT landmark index space of the window problem — the Schur
     # coupling tensor is [C, max_window_points, 6, 3], independent of the

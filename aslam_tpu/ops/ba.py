@@ -111,8 +111,14 @@ def pose_only_ba(
     """Motion-only BA: optimize T_cw holding landmarks fixed."""
     N = pts_w.shape[0]
     is_stereo = obs_ur >= 0
-    # information 1/z^2 (pnpsolver.cpp:74-75); z<=0 edges get weight ~0
-    info = jnp.where(obs_z > 1e-3, 1.0 / jnp.maximum(obs_z, 1e-3) ** 2, 0.0)
+    if cfg.info_model == "constant":
+        # constant pixel-noise model; depth-less observations keep their
+        # u,v rows (see lba.edge_terms)
+        info = jnp.ones_like(obs_z)
+    else:
+        # information 1/z^2 (pnpsolver.cpp:74-75); z<=0 edges get weight ~0
+        info = jnp.where(obs_z > 1e-3,
+                         1.0 / jnp.maximum(obs_z, 1e-3) ** 2, 0.0)
     chi2_th = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
 
     def edge_terms(T, inlier_mask, robust):

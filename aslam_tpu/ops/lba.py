@@ -81,7 +81,14 @@ def edge_terms(prob: BAProblem, cam: CameraModel, cfg: BAConfig, robust: bool):
     Jc = jnp.where(row_mask[..., None], Jc, 0.0)
     Jp = jnp.where(row_mask[..., None], Jp, 0.0)
 
-    info = jnp.where(prob.e_z > 1e-3, 1.0 / jnp.maximum(prob.e_z, 1e-3) ** 2, 0.0)
+    if cfg.info_model == "constant":
+        # all valid edges weigh 1; mono (depth-less) observations still
+        # constrain through their u,v rows (the stereo row is masked off
+        # by row_mask above)
+        info = jnp.ones_like(prob.e_z)
+    else:  # "inv_z2" (reference semantics; z<=0 edges get weight 0)
+        info = jnp.where(
+            prob.e_z > 1e-3, 1.0 / jnp.maximum(prob.e_z, 1e-3) ** 2, 0.0)
     chi2 = jnp.sum(r * r, -1) * info
     chi2_th = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
     w_huber = huber_weight(chi2, chi2_th) if robust else jnp.ones_like(chi2)

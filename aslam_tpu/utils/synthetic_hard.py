@@ -38,12 +38,26 @@ class Plane(NamedTuple):
     tex_id: int
 
 
+class Poster(NamedTuple):
+    """A distinctive high-contrast patch on a plane (the visual-landmark
+    role real rooms' objects/posters play for place recognition; without
+    them a uniformly-textured box room is a pathological perceptual-
+    aliasing case no appearance-based loop detector can solve)."""
+
+    pid: int              # plane index
+    a0: float             # plane-local origin (m)
+    b0: float
+    size: float           # square side (m)
+    tex: np.ndarray       # [T, T] float in [0,1], unique pattern
+
+
 class Scene(NamedTuple):
     planes: list          # list[Plane]
     fine_tex: np.ndarray  # [P, R, R] float in [0,1], nearest-sampled speckle
     coarse_tex: np.ndarray  # [P, C, C] float in [0,1], bilinear contrast
     fine_scale: float     # meters per fine texel
     coarse_scale: float   # meters per coarse texel
+    posters: list = []    # list[Poster]
 
 
 def room_scene(
@@ -56,6 +70,8 @@ def room_scene(
     coarse_res: int = 64,
     fine_scale: float = 0.022,
     coarse_scale: float = 0.25,
+    n_posters: int = 10,
+    poster_res: int = 96,
 ) -> Scene:
     """A closed box room (+y is down; floor at y=+half_y) with interior
     panels for depth discontinuities and parallax."""
@@ -95,8 +111,28 @@ def room_scene(
     P = len(planes)
     fine = rng.uniform(0.0, 1.0, (P, tex_res, tex_res))
     coarse = rng.uniform(0.0, 1.0, (P, coarse_res, coarse_res))
+
+    # distinctive posters on the walls (planes 2-5): unique binary-blocky
+    # high-contrast patterns — the viewpoint-stable structure that makes a
+    # place recognizable
+    posters = []
+    for i in range(n_posters):
+        pid = 2 + (i % 4)
+        pl = planes[pid]
+        size = rng.uniform(0.45, 0.8)
+        a0 = rng.uniform(0.05, max(pl.u_len - size - 0.05, 0.1))
+        b0 = rng.uniform(0.05, max(pl.v_len - size - 0.05, 0.1))
+        cells = rng.integers(5, 9)
+        pat = rng.uniform(0, 1, (cells, cells)) > 0.5
+        tex = np.kron(pat, np.ones((poster_res // cells + 1,) * 2))
+        tex = tex[:poster_res, :poster_res].astype(np.float32)
+        # soften edges slightly so FAST finds corners, not just saturation
+        tex = 0.9 * tex + 0.05
+        posters.append(Poster(pid, float(a0), float(b0), float(size), tex))
+
     return Scene(planes, fine.astype(np.float32),
-                 coarse.astype(np.float32), fine_scale, coarse_scale)
+                 coarse.astype(np.float32), fine_scale, coarse_scale,
+                 posters)
 
 
 # ------------------------------------------------------------------ rays
@@ -203,6 +239,20 @@ def render(
         sel = best_pid == pid
         if sel.any():
             img[sel] = _sample_tex(scene, pid, best_a[sel], best_b[sel])
+    for po in scene.posters:
+        sel = ((best_pid == po.pid)
+               & (best_a >= po.a0) & (best_a < po.a0 + po.size)
+               & (best_b >= po.b0) & (best_b < po.b0 + po.size))
+        if sel.any():
+            T = po.tex.shape[0]
+            ia = np.clip(((best_a[sel] - po.a0) / po.size * T).astype(
+                np.int64), 0, T - 1)
+            ib = np.clip(((best_b[sel] - po.b0) / po.size * T).astype(
+                np.int64), 0, T - 1)
+            # blend a little base speckle back in so the poster interior
+            # still carries fine texture for descriptors
+            base = img[sel]
+            img[sel] = 0.75 * po.tex[ia, ib] + 0.25 * base
     img = 20.0 + 215.0 * img
     img = img * illum_gain + illum_bias
     if rng is not None and px_noise > 0:

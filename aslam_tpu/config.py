@@ -115,6 +115,13 @@ class ExtractorConfig:
     adaptive_up: float = 1.3        # tooMany -> threshold *= 1.3
     adaptive_th_min: float = 2.0
     adaptive_th_max: float = 80.0
+    # keypoint depth sampling window (odd; 1 = the reference's single-pixel
+    # read, frame.cpp:148-164).  A robust k x k neighborhood mean (neighbors
+    # gated to 3-sigma Khoshelham agreement with the center pixel so depth
+    # edges are never averaged across) cuts the per-landmark depth noise by
+    # ~sqrt(valid neighbors) — landmark positions anchor the whole tracking
+    # chain, so this directly shrinks map drift.
+    depth_patch: int = 3
 
     @property
     def scale_factors(self) -> tuple[float, ...]:
@@ -250,6 +257,17 @@ class MapConfig:
     cull_found_ratio: float = 0.25  # localmapping.cpp:122
     cull_min_obs: int = 3
     kf_cull_redundancy: float = 0.95  # localmapping.cpp:236
+    # windowed Schur local BA at each KF insertion (localmapping.cpp:45-48).
+    # Off = tracking + landmark bookkeeping only (ablations; odometry-grade
+    # maps where chain-local consistency matters more than reprojection
+    # minimization)
+    enable_local_ba: bool = True
+    # closed-form multi-view landmark position refresh at each KF insertion
+    # (information-weighted mean of all observing KFs' backprojections with
+    # a 3-sigma trimmed second pass; mapstate.refresh_landmark_positions).
+    # n observations cut the dominant depth-noise error ~sqrt(n); the
+    # reference gets the same effect only implicitly through g2o local BA.
+    refresh_positions: bool = True
 
 
 @dataclass(frozen=True)

@@ -124,7 +124,15 @@ def build_window(m: ms.MapState, slot: jnp.ndarray, cfg: SystemConfig):
 
     win_vals, win_idx = jax.lax.top_k(w_row, min(n_win - 1, K))
     cam_slots_w = jnp.concatenate([slot[None], win_idx])[:n_win]
-    valid_w = jnp.concatenate([jnp.ones((1,), bool), win_vals > 0])[:n_win]
+    # reference window = covisibility-CONNECTED KFs (edge weight >= 15,
+    # keyframe.cpp:165 via GetVectorCovisibleKeyFrames) — NOT every KF
+    # sharing a single landmark.  Weight > 0 would pull nearly the whole
+    # map into the optimized set in a small scene (a near-global BA with
+    # one gauge anchor at every insertion), which smears accumulated drift
+    # across the chain instead of keeping refinement local.
+    th_w = float(cfg.map.covis_min_weight)
+    valid_w = jnp.concatenate(
+        [jnp.ones((1,), bool), win_vals >= th_w])[:n_win]
 
     # fixed anchors: remaining KFs most covisible with any window KF
     # (scatter invalid entries to a scratch slot so they can't clobber row 0)
@@ -293,8 +301,13 @@ class LocalMapping:
         # 3. fuse duplicates with covisible neighbors
         m = fuse_landmarks(m, slot_j, cfg)
 
+        # 3b. closed-form multi-view position refresh (depth-noise
+        # averaging across observing KFs; also the LBA linearization point)
+        if cfg.map.refresh_positions:
+            m = ms.refresh_landmark_positions(m, cfg)
+
         # 4. local BA once there are >2 KFs (localmapping.cpp:45-48)
-        if n_kfs > 2:
+        if cfg.map.enable_local_ba and n_kfs > 2:
             spec = build_window(m, slot_j, cfg)
             prob, lw_ids, _ = build_problem(m, spec, cfg)
             prob, _ = lba.local_ba(prob, cfg.camera, cfg.ba)

@@ -424,6 +424,11 @@ class LoopClosing:
         else:
             pg = pose_graph.optimize(pg, iters=cfg.loop.pose_graph_iters)
         m = correct_map(m, pg.T)
+        if cfg.map.refresh_positions:
+            # re-estimate landmark positions from ALL corrected KF poses
+            # (correct_map's single-owner re-anchor is the reference's
+            # mPosGBA staging; the multi-view refresh supersedes it)
+            m = ms.refresh_landmark_positions(m, cfg)
         self.last_loop_kf_id = kf_id
         self.consistent_groups = []
         self.loops.append((slot, cand_i))

@@ -123,6 +123,13 @@ class ExtractorConfig:
     # chain, so this directly shrinks map drift.
     depth_patch: int = 3
 
+    def __post_init__(self):
+        if self.depth_patch < 1 or self.depth_patch % 2 == 0:
+            raise ValueError(
+                f"depth_patch must be odd and >= 1, got {self.depth_patch} "
+                "(an even value would silently degrade to the single-pixel "
+                "read via r = (k-1)//2)")
+
     @property
     def scale_factors(self) -> tuple[float, ...]:
         return tuple(self.scale_factor ** i for i in range(self.n_levels))
@@ -237,6 +244,10 @@ class TrackingConfig:
     kf_min_rot: float = 0.25       # tracking.cpp:452
     max_vo_points: int = 100        # tracking.cpp:488-535 (<=100 close pts)
     local_map_max_kfs: int = 80     # tracking.cpp:307
+    # one-hop covisibility expansion of the voted local-KF set before the
+    # cap truncation (the reference's neighbors/children/parent expansion,
+    # tracking.cpp:308-346)
+    local_map_expand: bool = True
     min_matches_tracked: int = 20
     # LOST-state pose policy when no relocalizer is available (the
     # reference declares LOST and does nothing, tracking.h:37):
@@ -287,6 +298,13 @@ class LoopConfig:
     word_fraction: float = 0.8      # keyframedatabase.cpp:87
     score_fraction: float = 0.75    # keyframedatabase.cpp:129
     pose_graph_iters: int = 20
+    # global BA after a loop correction (the reference's staged
+    # mTcwGBA/mPosGBA machinery exists precisely for a post-loop full BA
+    # pass, globalbundleadjustment.cpp:154-190; it was never wired live).
+    # 0 disables; the pose graph leaves a seam at the loop ends that a few
+    # joint GN iterations close.
+    post_gba_iters: int = 8
+    post_gba_method: str = "gn_cg"
     # temporal-consistency gate (the ConsistentGroup design the reference
     # declares but never finishes, loopclosing.h:16-22; ORB-SLAM2's
     # mnCovisibilityConsistencyTh): a loop candidate is only verified after

@@ -75,7 +75,7 @@ def _make_frame_impl(
     # it by ~sqrt(n).
     r = (cfg.extractor.depth_patch - 1) // 2
     if r > 0:
-        gate = 3.0 * 0.01 * z * z + 0.03
+        gate = camera.khoshelham_gate(z)
         z_sum = jnp.zeros_like(z)
         w_sum = jnp.zeros_like(z)
         for dy in range(-r, r + 1):

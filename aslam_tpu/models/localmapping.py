@@ -133,6 +133,11 @@ def build_window(m: ms.MapState, slot: jnp.ndarray, cfg: SystemConfig):
     th_w = float(cfg.map.covis_min_weight)
     valid_w = jnp.concatenate(
         [jnp.ones((1,), bool), win_vals >= th_w])[:n_win]
+    # reference fallback (keyframe.cpp:180-183): when no neighbor reaches
+    # th_w, connect the single max-weight neighbor so the window never
+    # collapses to the current KF alone in low-covisibility stretches
+    no_conn = ~jnp.any(win_vals >= th_w)
+    valid_w = valid_w.at[1].set(valid_w[1] | (no_conn & (win_vals[0] > 0)))
 
     # fixed anchors: remaining KFs most covisible with any window KF
     # (scatter invalid entries to a scratch slot so they can't clobber row 0)

@@ -365,11 +365,12 @@ def refresh_landmark_positions(m: MapState, cfg: SystemConfig) -> MapState:
         return sp / jnp.maximum(sw, 1e-12)[:, None], sw
 
     mean1, sw1 = weighted_mean(w)
-    # trimmed second pass: drop observations >3-sigma (+5 cm floor) from
-    # the first-pass mean (depth edges, mismatched fuse bindings)
+    # trimmed second pass: drop observations beyond the shared 3-sigma
+    # Khoshelham gate from the first-pass mean (depth edges, mismatched
+    # fuse bindings)
     safe_lm = jnp.clip(m.kf_lm, 0, L - 1)
     dist = jnp.linalg.norm(p_w - mean1[safe_lm], axis=-1)  # [K,M]
-    keep = dist <= 3.0 * sigma + 0.05
+    keep = dist <= camera.khoshelham_gate(m.kf_z)
     mean2, sw2 = weighted_mean(jnp.where(keep, w, 0.0))
 
     has2 = sw2 > 0

@@ -87,6 +87,25 @@ def track_local_map(
     top_vals, top_idx = jax.lax.top_k(kf_rank, k_cap)
     local_kf = jnp.zeros((K,), bool).at[top_idx].set(top_vals > 0)
 
+    # 1b. one-hop covisibility expansion (tracking.cpp:308-346): the
+    #     reference extends the voted set with each member's best
+    #     neighbors/children/parent before the cap-80 truncation.  Here:
+    #     non-voted KFs ranked by their strongest covisibility link into
+    #     the voted set fill the remaining cap slots (voted KFs keep
+    #     priority via a large rank offset).  In the sparse-association
+    #     (WEAK) regime this is what feeds the projection search with the
+    #     landmarks just outside the directly-voted neighborhood.
+    if cfg.tracking.local_map_expand:
+        Wc = ms.covisibility(m)
+        link = jnp.max(jnp.where(local_kf[None, :], Wc, 0), axis=1)  # [K]
+        exp_rank = jnp.where(
+            m.kf_valid & ~local_kf & (link > 0), link.astype(votes.dtype),
+            -1.0,
+        )
+        combined = jnp.where(local_kf, votes + 1e6, exp_rank)
+        top_vals, top_idx = jax.lax.top_k(combined, k_cap)
+        local_kf = jnp.zeros((K,), bool).at[top_idx].set(top_vals > 0)
+
     # 2. local landmarks: seen by local KFs, not already bound
     local_lm = jnp.any(A & local_kf[:, None], axis=0)    # [L]
     bound = jnp.zeros((L + 1,), bool).at[

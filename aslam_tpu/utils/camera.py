@@ -15,6 +15,16 @@ import jax.numpy as jnp
 from aslam_tpu.config import CameraModel
 
 
+def khoshelham_gate(z: jnp.ndarray, c: float = 0.01,
+                    floor: float = 0.03) -> jnp.ndarray:
+    """3-sigma depth-agreement gate from the Khoshelham noise model
+    sigma_z = c * z^2 (the reference's own error model, ransac.cpp:423-431)
+    plus a near-range floor.  Shared by the frame-level depth-patch gate
+    and the landmark position-refresh trim so the two '3-sigma' gates stay
+    in sync (ADVICE r2)."""
+    return 3.0 * c * z * z + floor
+
+
 def project(cam: CameraModel, pts_c: jnp.ndarray):
     """Camera-frame points (...,N,3) -> pixel coords (...,N,2) and depth (...,N).
 

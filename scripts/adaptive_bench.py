@@ -104,14 +104,21 @@ def main(argv=None):
     c_stat, ate_stat = run_stream(static_cfg, imgs, depths, gt, "static")
 
     lo, hi = cfg.extractor.adaptive_min, cfg.extractor.adaptive_max
-    settle = 5  # controller needs a few frames to adapt
+    # The settle window applies ONLY to the adaptive controller (it needs a
+    # few frames to regulate); the static extractor has no transient, and
+    # cutting its first frames would hide exactly the starvation tail the
+    # study exists to show (VERDICT r2 weak #7) — so band/starvation for
+    # static are computed over ALL frames.
+    settle = 5
     in_band_a = np.mean((c_adap[settle:] >= lo * 0.8)
                         & (c_adap[settle:] <= hi * 1.2))
-    in_band_s = np.mean((c_stat[settle:] >= lo * 0.8)
-                        & (c_stat[settle:] <= hi * 1.2))
-    starve_s = np.mean(c_stat[settle:] < lo // 2)
-    print(f"in-band: adaptive {in_band_a:.0%} vs static {in_band_s:.0%}; "
-          f"static starved (<{lo // 2} kp) on {starve_s:.0%} of frames")
+    in_band_s = np.mean((c_stat >= lo * 0.8) & (c_stat <= hi * 1.2))
+    starve_th = lo // 2
+    starve_a = np.mean(c_adap[settle:] < starve_th)
+    starve_s = np.mean(c_stat < starve_th)
+    print(f"in-band: adaptive {in_band_a:.0%} (post-settle) vs static "
+          f"{in_band_s:.0%} (all frames); starved (<{starve_th} kp): "
+          f"adaptive {starve_a:.0%} vs static {starve_s:.0%}")
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
@@ -123,19 +130,23 @@ def main(argv=None):
             f"[{lo},{hi}]) vs static FAST threshold "
             f"{cfg.extractor.fast_threshold}.  Generated by "
             "scripts/adaptive_bench.py.\n\n"
+            "Band and starvation statistics: adaptive is scored after a "
+            f"{settle}-frame controller settle window; static has no "
+            "transient so it is scored over ALL frames (cutting its head "
+            "would hide the starvation tail).  kp min/percentiles are over "
+            "all frames for both.\n\n"
             "| extractor | kp min | kp p10 | kp median | kp p90 | kp max | "
-            "in regulation band | VO ATE (m) |\n|---|---|---|---|---|---|---|---|\n")
-        for tag, c, ate, band in [
-            ("adaptive", c_adap, ate_adap, in_band_a),
-            ("static", c_stat, ate_stat, in_band_s),
+            f"in regulation band | starved frames (<{starve_th} kp) | "
+            "VO ATE (m) |\n|---|---|---|---|---|---|---|---|---|\n")
+        for tag, c, ate, band, starve in [
+            ("adaptive", c_adap, ate_adap, in_band_a, starve_a),
+            ("static", c_stat, ate_stat, in_band_s, starve_s),
         ]:
-            f.write(f"| {tag} | {c[settle:].min()} | "
-                    f"{np.percentile(c[settle:], 10):.0f} | "
-                    f"{np.median(c[settle:]):.0f} | "
-                    f"{np.percentile(c[settle:], 90):.0f} | "
-                    f"{c[settle:].max()} | {band:.0%} | {ate:.4f} |\n")
-        f.write(f"\nStatic starves (<{lo // 2} keypoints) on "
-                f"{starve_s:.0%} of post-settle frames.\n")
+            f.write(f"| {tag} | {c.min()} | "
+                    f"{np.percentile(c, 10):.0f} | "
+                    f"{np.median(c):.0f} | "
+                    f"{np.percentile(c, 90):.0f} | "
+                    f"{c.max()} | {band:.0%} | {starve:.0%} | {ate:.4f} |\n")
     print(f"wrote {args.out}")
 
 

@@ -171,11 +171,16 @@ def main():
                 print(f"  WORKER FAILED {spec}:\n{out[-2000:]}", flush=True)
             running.remove((spec, p))
 
+    import time
+
     for spec in jobs:
         while len(running) >= args.jobs:
             drain(block=False)
             if len(running) >= args.jobs:
-                running[0][1].wait()
+                # poll-sleep rather than wait(): wait() on a stdout=PIPE
+                # child can deadlock if the child fills the ~64KB pipe
+                # buffer before exiting (ADVICE r2)
+                time.sleep(0.5)
         c, k, s = spec
         p = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker",

@@ -263,6 +263,14 @@ class MapConfig:
 
     max_keyframes: int = 256
     max_landmarks: int = 32768
+    # capacity of the compacted candidate set fed to guided projection
+    # matching (track-local-map / fuse).  The [cap, M] distance matrix
+    # replaces a [max_landmarks, M] one — per-frame matching cost is
+    # bounded by the local map's visible landmarks, not the global table.
+    proj_match_cap: int = 8192
+    # KF-chunk size for the blocked covisibility product (memory ceiling
+    # O(chunk * max_landmarks) instead of O(K * L))
+    covis_chunk: int = 256
     # per-landmark observation bookkeeping derived from per-KF feature slots
     covis_min_weight: int = 15      # keyframe.cpp:165
     cull_found_ratio: float = 0.25  # localmapping.cpp:122

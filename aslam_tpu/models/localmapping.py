@@ -45,10 +45,8 @@ def fuse_landmarks(m: ms.MapState, slot: jnp.ndarray,
     K, M = m.kf_lm.shape
     L = m.lm_pos.shape[0]
 
-    W = ms.covisibility(m)                            # [K,K]
-    neighbor = W[slot] >= cfg.map.covis_min_weight    # [K]
-    A = ms.incidence(m)
-    cand = jnp.any(A & neighbor[:, None], axis=0) & m.lm_valid
+    neighbor = ms.covis_row(m, slot) >= cfg.map.covis_min_weight   # [K]
+    cand = ms.landmark_mask_of_kfs(m, neighbor)
 
     # exclude landmarks already bound in this KF
     own = m.kf_lm[slot]
@@ -61,8 +59,10 @@ def fuse_landmarks(m: ms.MapState, slot: jnp.ndarray,
     vis, pred_uv, _, _ = camera.in_frustum(cam, T_kf, m.lm_pos)
     cand = cand & vis
 
+    cidx, cvalid, _ = matching.compact_candidates(
+        cand, min(cfg.map.proj_match_cap, L))
     pm = matching.projection_match(
-        m.lm_desc, cand, pred_uv,
+        m.lm_desc[cidx], cvalid, pred_uv[cidx],
         m.kf_xy[slot], m.kf_desc[slot], m.kf_kp_valid[slot],
         m.kf_octave[slot], jnp.ones((M,), bool),  # bound features allowed
         radius=cfg.matcher.fuse_radius,
@@ -73,9 +73,9 @@ def fuse_landmarks(m: ms.MapState, slot: jnp.ndarray,
     obs = ms.observation_counts(m)
     tgt_feat = jnp.where(pm.valid, pm.target_idx, M)
     own_pad = jnp.concatenate([own, jnp.full((1,), -1, jnp.int32)])
-    existing = own_pad[tgt_feat]                      # [L] bound lm or -1
+    existing = own_pad[tgt_feat]                      # [cap] bound lm or -1
 
-    lm_ids = jnp.arange(L, dtype=jnp.int32)
+    lm_ids = cidx                                     # [cap] global lm ids
     # case A: feature free -> bind landmark
     bind = pm.valid & (existing < 0)
     new_row = own_pad.at[jnp.where(bind, tgt_feat, M)].set(
@@ -85,7 +85,7 @@ def fuse_landmarks(m: ms.MapState, slot: jnp.ndarray,
     # case B: feature bound to other landmark -> merge (keep more obs)
     dup = pm.valid & (existing >= 0) & (existing != lm_ids)
     ex_idx = jnp.where(existing >= 0, existing, 0)
-    keep_existing = obs[ex_idx] >= obs
+    keep_existing = obs[ex_idx] >= obs[lm_ids]
     loser = jnp.where(dup, jnp.where(keep_existing, lm_ids, ex_idx), L)
     winner = jnp.where(dup, jnp.where(keep_existing, ex_idx, lm_ids), L)
     redirect = jnp.arange(L + 1, dtype=jnp.int32).at[loser].set(winner)[:L + 1]
@@ -118,8 +118,7 @@ def build_window(m: ms.MapState, slot: jnp.ndarray, cfg: SystemConfig):
     K = m.kf_valid.shape[0]
     n_win = cfg.ba.max_window_cams
     n_fix = cfg.ba.max_fixed_cams
-    W = ms.covisibility(m)
-    w_row = jnp.where(m.kf_valid, W[slot], -1)
+    w_row = jnp.where(m.kf_valid, ms.covis_row(m, slot), -1)
     w_row = w_row.at[slot].set(-1)
 
     win_vals, win_idx = jax.lax.top_k(w_row, min(n_win - 1, K))
@@ -140,13 +139,16 @@ def build_window(m: ms.MapState, slot: jnp.ndarray, cfg: SystemConfig):
     valid_w = valid_w.at[1].set(valid_w[1] | (no_conn & (win_vals[0] > 0)))
 
     # fixed anchors: remaining KFs most covisible with any window KF
-    # (scatter invalid entries to a scratch slot so they can't clobber row 0)
+    # (scatter invalid entries to a scratch slot so they can't clobber
+    # row 0).  Covisibility columns only for the window slots — n_win
+    # O(K*M) row gathers, no full [K,K] product.
     in_win = jnp.zeros((K + 1,), bool).at[
         jnp.where(valid_w, cam_slots_w, K)
     ].set(True)[:K]
+    W_win = ms.covis_rows(m, cam_slots_w)            # [n_win, K]
     anchor_score = jnp.where(
         m.kf_valid & ~in_win,
-        jnp.max(W[:, cam_slots_w] * valid_w[None, :], axis=1),
+        jnp.max(W_win * valid_w[:, None], axis=0),
         -1,
     )
     fix_vals, fix_idx = jax.lax.top_k(anchor_score, min(n_fix, K))

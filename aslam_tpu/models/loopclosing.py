@@ -80,11 +80,12 @@ def query_candidates(
     (cand_slots [N] int32 with -1 padding, cand_scores [N],
     cand_groups [N,K] bool covisibility groups for the consistency gate)
     where N = cfg.loop.top_candidates, best first."""
-    covis = ms.covisibility(m)
+    K = m.kf_valid.shape[0]
+    row_q = ms.covis_row(m, slot)
     eligible = (
         db.kf_in_db & m.kf_valid
-        & (covis[slot] == 0)                        # exclude covisible
-        & (jnp.arange(db.kf_in_db.shape[0]) != slot)
+        & (row_q == 0)                              # exclude covisible
+        & (jnp.arange(K) != slot)
         & kf_gap_ok
     )
     # shared-word filter: > 0.8 * max common words
@@ -98,10 +99,18 @@ def query_candidates(
     ok = eligible & word_ok & (scores >= cfg.loop.min_score)
     base = jnp.where(ok, scores, 0.0)
 
-    # covisibility-group accumulation
-    adj = (covis > 0).astype(jnp.float32) + jnp.eye(covis.shape[0])
-    acc = adj @ base
-    acc = jnp.where(ok, acc, -1.0)
+    # covisibility-group accumulation (keyframedatabase.cpp:102-146),
+    # restricted to the 32 best-scored candidates: only their covisibility
+    # rows are gathered (O(32*K*M)) instead of the full [K,K] adjacency.
+    # A candidate outside the top-32 own-score set cannot win the
+    # accumulation in practice (the reference accumulates over top-10
+    # covisibility groups of each sharing KF).
+    n_acc = min(32, K)
+    b_vals, b_idx = jax.lax.top_k(jnp.where(ok, scores, -1.0), n_acc)
+    rows = ms.covis_rows(m, b_idx)                  # [n_acc, K]
+    acc_sel = b_vals + jnp.sum((rows > 0) * base[None, :], axis=1)
+    acc = jnp.full((K,), -1.0).at[b_idx].max(
+        jnp.where(b_vals > 0, acc_sel, -1.0))
     best_acc = jnp.max(acc)
     good = ok & (acc >= cfg.loop.score_fraction * best_acc)
 
@@ -111,8 +120,8 @@ def query_candidates(
     cand_slots = jnp.where(found, top_idx, -1).astype(jnp.int32)
     # covisibility group of each candidate: itself + covisible KFs (the
     # ConsistentGroup's spKeyFrames set, loopclosing.h:16-22)
-    grp = (covis[top_idx] > 0) | (
-        jnp.arange(covis.shape[0])[None, :] == top_idx[:, None]
+    grp = (ms.covis_rows(m, top_idx) > 0) | (
+        jnp.arange(K)[None, :] == top_idx[:, None]
     )
     grp = grp & found[:, None] & m.kf_valid[None, :]
     return cand_slots, top_scores, grp
@@ -188,7 +197,7 @@ def build_pose_graph(
     a verified-but-slightly-wrong loop transform is averaged against the
     odometry chain rather than overriding it (VERDICT r2 weak #6)."""
     K = m.kf_valid.shape[0]
-    covis = ms.covisibility(m)
+    covis = ms.covisibility(m, chunk=cfg.map.covis_chunk)
     w = jnp.where(m.kf_valid[:, None] & m.kf_valid[None, :], covis, 0)
     top_w, top_j = jax.lax.top_k(w, edges_per_node)             # [K,e]
 
@@ -240,10 +249,24 @@ def correct_map(m: ms.MapState, T_new: jnp.ndarray) -> ms.MapState:
     globalbundleadjustment.cpp:163-189, applied eagerly)."""
     K = m.kf_valid.shape[0]
     L = m.lm_pos.shape[0]
-    A = ms.incidence(m)                                  # [K,L]
-    kf_id_col = jnp.where(m.kf_valid, m.kf_id, 2**30)[:, None]
-    owner = jnp.argmin(jnp.where(A, kf_id_col, 2**30), axis=0)  # [L]
-    has_owner = jnp.any(A, axis=0)
+    # owner = earliest-inserted observing KF, via two scatter-min passes
+    # over the [K,M] observation table (no [K,L] incidence): first the
+    # minimal observing kf_id per landmark, then the slot carrying it
+    obs_ok = m.kf_kp_valid & m.kf_valid[:, None] & (m.kf_lm >= 0)
+    idx = jnp.where(obs_ok, m.kf_lm, L).reshape(-1)
+    kfid_b = jnp.broadcast_to(
+        jnp.where(m.kf_valid, m.kf_id, 2**30)[:, None], m.kf_lm.shape
+    ).reshape(-1)
+    owner_id = jnp.full((L + 1,), 2**30, jnp.int32).at[idx].min(kfid_b)
+    slot_b = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[:, None], m.kf_lm.shape
+    ).reshape(-1)
+    is_owner = kfid_b == owner_id[idx]
+    owner = jnp.full((L + 1,), K, jnp.int32).at[
+        jnp.where(is_owner, idx, L)
+    ].min(slot_b)[:L]
+    has_owner = owner < K
+    owner = jnp.clip(owner, 0, K - 1)
 
     T_corr = T_new @ T_inv(m.kf_T_cw)                    # per-KF world fix
     # p' = T_wc_new[o] @ T_cw_old[o] @ p  (in world coords:

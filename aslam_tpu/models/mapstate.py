@@ -107,7 +107,12 @@ def observation_counts_weighted(m: MapState) -> jnp.ndarray:
 
 
 def incidence(m: MapState) -> jnp.ndarray:
-    """[K,L] bool: KF k observes landmark l."""
+    """[K,L] bool: KF k observes landmark l.
+
+    SCALE WARNING: materializes the full K x L matrix (10 GB at the 10k-KF
+    contract).  The live pipeline never calls this — per-frame/per-KF paths
+    use the O(K*M) primitives below (kf_votes / landmark_mask_of_kfs /
+    covis_row); it remains for small-map utilities and tests."""
     K, M = m.kf_lm.shape
     L = m.lm_pos.shape[0]
     ids = jnp.where(m.kf_kp_valid & m.kf_valid[:, None], m.kf_lm, -1)
@@ -117,12 +122,92 @@ def incidence(m: MapState) -> jnp.ndarray:
     return A[:, :L] & m.lm_valid[None, :]
 
 
-def covisibility(m: MapState) -> jnp.ndarray:
+def landmark_mask_of_kfs(m: MapState, kf_mask: jnp.ndarray) -> jnp.ndarray:
+    """[L] bool: landmarks observed by any KF in `kf_mask` — one [K,M]
+    scatter, never materializing the [K,L] incidence."""
+    L = m.lm_pos.shape[0]
+    ok = m.kf_kp_valid & (m.kf_valid & kf_mask)[:, None] & (m.kf_lm >= 0)
+    flat = jnp.where(ok, m.kf_lm, L).reshape(-1)
+    return jnp.zeros((L + 1,), bool).at[flat].set(True)[:L] & m.lm_valid
+
+
+def kf_votes(m: MapState, lm_mask: jnp.ndarray) -> jnp.ndarray:
+    """[K] int32: per-KF count of observed landmarks inside `lm_mask` —
+    one [K,M] gather (the covisibility-vote primitive; replaces the
+    incidence matvec of tracking.cpp:263-307 at any map scale)."""
+    pad = jnp.concatenate([lm_mask & m.lm_valid, jnp.zeros((1,), bool)])
+    # kf_lm == -1 wraps to index L (the padding row) under JAX semantics
+    hit = pad[m.kf_lm] & m.kf_kp_valid & m.kf_valid[:, None]
+    return jnp.sum(hit, axis=1, dtype=jnp.int32)
+
+
+def covis_row(m: MapState, slot: jnp.ndarray) -> jnp.ndarray:
+    """[K] int32: one row of the covisibility graph (shared-landmark counts
+    of KF `slot` vs every KF), O(K*M)."""
+    L = m.lm_pos.shape[0]
+    row = m.kf_lm[slot]
+    ok = m.kf_kp_valid[slot] & (row >= 0)
+    lmask = jnp.zeros((L + 1,), bool).at[
+        jnp.where(ok, row, L)
+    ].set(True)[:L] & m.lm_valid
+    votes = kf_votes(m, lmask) * m.kf_valid[slot]
+    return votes.at[slot].set(0)
+
+
+def covis_rows(m: MapState, slots: jnp.ndarray) -> jnp.ndarray:
+    """[S,K] int32 covisibility rows for a slot subset (vmapped covis_row)."""
+    return jax.vmap(lambda s: covis_row(m, s))(slots)
+
+
+def covisibility(m: MapState, chunk: int = 256) -> jnp.ndarray:
     """[K,K] int32 shared-landmark counts (keyframe.cpp:130-206's
-    incrementally maintained graph as one MXU matmul)."""
-    A = incidence(m).astype(jnp.bfloat16)
-    W = jnp.dot(A, A.T, preferred_element_type=jnp.float32).astype(jnp.int32)
-    W = W * (1 - jnp.eye(W.shape[0], dtype=jnp.int32))
+    incrementally maintained graph as MXU matmuls).
+
+    At K <= chunk this is the single dense A A^T product.  Above, the
+    product is blocked: incidence chunks [chunk, L] are (re)built on the
+    fly per block pair, so peak memory is O(chunk*L + K^2) instead of
+    O(K*L) — the 10 GB incidence cliff at 10k KFs never materializes.
+    Only coarse-cadence consumers (pose-graph build, loop-candidate
+    grouping, viewers, partitioners) need the full matrix."""
+    K, M = m.kf_lm.shape
+    L = m.lm_pos.shape[0]
+    if K <= chunk:
+        A = incidence(m).astype(jnp.bfloat16)
+        W = jnp.dot(A, A.T, preferred_element_type=jnp.float32)
+        W = W.astype(jnp.int32)
+    else:
+        n_c = -(-K // chunk)
+        Kp = n_c * chunk
+        ids = jnp.where(
+            m.kf_kp_valid & m.kf_valid[:, None] & (m.kf_lm >= 0),
+            m.kf_lm, L,
+        )
+        ids = jnp.concatenate(
+            [ids, jnp.full((Kp - K, M), L, jnp.int32)], axis=0)
+        lm_ok = jnp.concatenate(
+            [m.lm_valid, jnp.zeros((1,), bool)]).astype(jnp.bfloat16)
+
+        def build_A(ci):
+            rows = jax.lax.dynamic_slice_in_dim(ids, ci * chunk, chunk, 0)
+            A = jnp.zeros((chunk, L + 1), jnp.bfloat16).at[
+                jnp.arange(chunk)[:, None], rows
+            ].set(1.0)
+            return A * lm_ok[None, :]
+
+        def row_block(ci):
+            Ai = build_A(ci)
+
+            def col_block(cj):
+                Aj = build_A(cj)
+                return jnp.dot(Ai[:, :L], Aj[:, :L].T,
+                               preferred_element_type=jnp.float32)
+
+            blocks = jax.lax.map(col_block, jnp.arange(n_c))  # [n_c,c,c]
+            return blocks.transpose(1, 0, 2).reshape(chunk, Kp)
+
+        W = jax.lax.map(row_block, jnp.arange(n_c)).reshape(Kp, Kp)
+        W = W[:K, :K].astype(jnp.int32)
+    W = W * (1 - jnp.eye(K, dtype=jnp.int32))
     return W * (m.kf_valid[:, None] & m.kf_valid[None, :])
 
 
@@ -302,7 +387,7 @@ def keyframe_culling(m: MapState, current_slot: jnp.ndarray,
 
     # parent = surviving KF most covisible with the victim (computed while
     # the victim is still valid so its covisibility row exists)
-    w_row = covisibility(m)[first]
+    w_row = covis_row(m, first)
     parent_rank = jnp.where(m.kf_valid, w_row, -1).at[first].set(-1)
     parent = jnp.argmax(parent_rank)
     T_cp = m.kf_T_cw[first] @ T_inv(m.kf_T_cw[parent])

@@ -75,13 +75,12 @@ def track_local_map(
     M = assoc.shape[0]
 
     # 1. covisibility vote: KFs sharing landmarks with the current frame
-    #    (tracking.cpp:263-307), local map capped at local_map_max_kfs
-    A = ms.incidence(m)                                  # [K,L]
-    cur = jnp.zeros((L + 1,), jnp.bfloat16).at[
+    #    (tracking.cpp:263-307), local map capped at local_map_max_kfs.
+    #    One [K,M] gather (ms.kf_votes) — no [K,L] incidence at any scale.
+    cur_mask = jnp.zeros((L + 1,), bool).at[
         jnp.where(assoc >= 0, assoc, L)
-    ].set(1.0)[:L]
-    votes = jnp.dot(A.astype(jnp.bfloat16), cur,
-                    preferred_element_type=jnp.float32)  # [K]
+    ].set(True)[:L]
+    votes = ms.kf_votes(m, cur_mask).astype(jnp.float32)
     kf_rank = jnp.where(m.kf_valid & (votes > 0), votes, -1.0)
     k_cap = min(cfg.tracking.local_map_max_kfs, K)
     top_vals, top_idx = jax.lax.top_k(kf_rank, k_cap)
@@ -96,8 +95,12 @@ def track_local_map(
     #     (WEAK) regime this is what feeds the projection search with the
     #     landmarks just outside the directly-voted neighborhood.
     if cfg.tracking.local_map_expand:
-        Wc = ms.covisibility(m)
-        link = jnp.max(jnp.where(local_kf[None, :], Wc, 0), axis=1)  # [K]
+        # ranked by shared-landmark count with the UNION of the voted set's
+        # landmarks (one scatter + one gather; the reference ranks by best
+        # per-member edge — union overlap is the array-native equivalent
+        # and also measures affinity to the whole local map)
+        voted_lms = ms.landmark_mask_of_kfs(m, local_kf)
+        link = ms.kf_votes(m, voted_lms)
         exp_rank = jnp.where(
             m.kf_valid & ~local_kf & (link > 0), link.astype(votes.dtype),
             -1.0,
@@ -107,28 +110,31 @@ def track_local_map(
         local_kf = jnp.zeros((K,), bool).at[top_idx].set(top_vals > 0)
 
     # 2. local landmarks: seen by local KFs, not already bound
-    local_lm = jnp.any(A & local_kf[:, None], axis=0)    # [L]
+    local_lm = ms.landmark_mask_of_kfs(m, local_kf)      # [L]
     bound = jnp.zeros((L + 1,), bool).at[
         jnp.where(assoc >= 0, assoc, L)
     ].set(True)[:L]
-    search_lm = local_lm & m.lm_valid & ~bound
+    search_lm = local_lm & ~bound
 
-    # 3. frustum check + guided projection match (tracking.cpp:368-405)
+    # 3. frustum check + guided projection match (tracking.cpp:368-405),
+    #    over a COMPACTED candidate set (bounded by proj_match_cap, not L)
     vis, pred_uv, _, _ = camera.in_frustum(cam, frame.T_cw, m.lm_pos)
     cand = search_lm & vis
+    cap = min(cfg.map.proj_match_cap, L)
+    cidx, cvalid, _ = matching.compact_candidates(cand, cap)
     pm = matching.projection_match(
-        m.lm_desc, cand, pred_uv,
+        m.lm_desc[cidx], cvalid, pred_uv[cidx],
         frame.xy_und, frame.feat.desc, frame.feat.valid,
         frame.feat.octave, assoc < 0,
         radius=cfg.matcher.proj_radius,
         th_high=float(cfg.matcher.th_high),
         ratio=cfg.matcher.ratio_local,
     )
-    # merge new bindings: landmark l matched feature pm.target_idx[l]
+    # merge new bindings: landmark cidx[r] matched feature pm.target_idx[r]
     new_tgt = jnp.where(pm.valid, pm.target_idx, M)
     assoc2 = jnp.concatenate([assoc, jnp.full((1,), -1, jnp.int32)]) \
         .at[new_tgt].max(
-            jnp.where(pm.valid, jnp.arange(L, dtype=jnp.int32), -1)
+            jnp.where(pm.valid, cidx, -1)
         )[:M]
     assoc2 = jnp.where(assoc >= 0, assoc, assoc2)
 
@@ -182,23 +188,24 @@ def bootstrap_track(
     top_vals, top_idx = jax.lax.top_k(rank, k_cap)
     local_kf = jnp.zeros((K,), bool).at[top_idx].set(top_vals > -jnp.inf)
 
-    A = ms.incidence(m)
-    search_lm = jnp.any(A & local_kf[:, None], axis=0) & m.lm_valid
+    search_lm = ms.landmark_mask_of_kfs(m, local_kf)
     vis, pred_uv, _, _ = camera.in_frustum(cam, frame.T_cw, m.lm_pos)
     cand = search_lm & vis
     M = frame.xy_und.shape[0]
+    L = m.lm_pos.shape[0]
+    cidx, cvalid, _ = matching.compact_candidates(
+        cand, min(cfg.map.proj_match_cap, L))
     pm = matching.projection_match(
-        m.lm_desc, cand, pred_uv,
+        m.lm_desc[cidx], cvalid, pred_uv[cidx],
         frame.xy_und, frame.feat.desc, frame.feat.valid,
         frame.feat.octave, jnp.ones((M,), bool),
         radius=2.0 * cfg.matcher.proj_radius,   # wide: pose is approximate
         th_high=float(cfg.matcher.th_high),
         ratio=cfg.matcher.ratio_local,
     )
-    L = m.lm_pos.shape[0]
     new_tgt = jnp.where(pm.valid, pm.target_idx, M)
     assoc = jnp.full((M + 1,), -1, jnp.int32).at[new_tgt].max(
-        jnp.where(pm.valid, jnp.arange(L, dtype=jnp.int32), -1)
+        jnp.where(pm.valid, cidx, -1)
     )[:M]
 
     lm_idx = jnp.where(assoc >= 0, assoc, 0)

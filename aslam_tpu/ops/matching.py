@@ -88,6 +88,21 @@ def resolve_duplicates(matches: Matches, n_targets: int) -> Matches:
     )
 
 
+def compact_candidates(cand: jnp.ndarray, cap: int):
+    """Gather the indices of up to `cap` True entries of `cand` (stable —
+    lowest ids first).  Guided matching over a big landmark table is sparse
+    (only frustum-visible local-map landmarks participate); compacting
+    before the [cand, N] distance matrix bounds per-frame matching cost by
+    `cap` instead of the map's landmark capacity (the 0.5 GB/frame cliff at
+    config-5 scale).  Returns (idx [cap] int32, valid [cap] bool,
+    n_overflow scalar int32 = candidates dropped)."""
+    idx = jnp.argsort(~cand, stable=True)[:cap].astype(jnp.int32)
+    valid = cand[idx]
+    n_over = jnp.maximum(
+        jnp.sum(cand.astype(jnp.int32)) - cap, 0)
+    return idx, valid, n_over
+
+
 def projection_match(
     lm_desc: jnp.ndarray,      # [L,8] uint32 landmark descriptors
     lm_valid: jnp.ndarray,     # [L] bool (in frustum & tracked-in-view)

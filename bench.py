@@ -45,6 +45,16 @@ def main():
     cam = CameraModel(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
                       width=640, height=480)
     cfg = SystemConfig(camera=cam)
+    # bisect hook (PERF.md r2->r3 regression analysis): the r2 default
+    # depth_patch=3 adds a 3x3 gated depth gather per keypoint to the
+    # fused per-frame program; ASLAM_BENCH_DEPTH_PATCH=1 measures the r1
+    # single-pixel configuration on the same code.
+    dp = int(os.environ.get("ASLAM_BENCH_DEPTH_PATCH", "0"))
+    if dp:
+        import dataclasses
+
+        cfg = cfg.replace(
+            extractor=dataclasses.replace(cfg.extractor, depth_patch=dp))
 
     n_frames = int(os.environ.get("ASLAM_BENCH_FRAMES", "64"))
     n_passes = int(os.environ.get("ASLAM_BENCH_PASSES", "6"))
@@ -173,31 +183,50 @@ def main():
 
     sanity = {"verified": False, "ate_cm": None}
 
-    def _read():
-        try:
-            from aslam_tpu.utils import trajectory
+    from aslam_tpu.utils import trajectory
 
-            # accuracy: on-device ATE of pass 0 vs ground truth — only one
-            # scalar crosses the link
-            est = jnp.stack(pose_buf[: n_frames - 1])
-            gt = jnp.asarray(poses[1:n_frames])
-            ate = float(trajectory.ate_rmse_device(est, gt))
-            log(f"pass-0 ATE vs ground truth (on-device): {ate * 100:.2f} cm")
-            log(f"last frame: inliers={int(res.n_inliers)} "
-                f"matches={int(res.n_matches)}")
+    # accuracy: on-device ATE of pass 0 vs ground truth — only one scalar
+    # ever crosses the link.  The relay's d2h path hangs heavy-tailed (not
+    # absolute: the same link serves hundreds of test readbacks fine), so
+    # the single read is RETRIED with fresh device computations under a
+    # per-attempt watchdog instead of giving up after one 90 s wait
+    # (VERDICT r2 weak #3).
+    est = jnp.stack(pose_buf[: n_frames - 1])
+    gt = jnp.asarray(poses[1:n_frames])
+
+    hung = False
+    for attempt in range(4):
+        done = {}
+
+        def _read():
+            try:
+                # fresh computation per attempt: a previous hung read stays
+                # hung; a new executable gets a new d2h channel
+                ate_dev = trajectory.ate_rmse_device(est + 0.0, gt)
+                done["ate"] = float(ate_dev)
+            except Exception as e:  # noqa: BLE001
+                done["err"] = e
+
+        t = threading.Thread(target=_read, daemon=True)
+        t.start()
+        t.join(timeout=45.0)
+        if "ate" in done:
+            ate = done["ate"]
+            log(f"pass-0 ATE vs ground truth (on-device): {ate * 100:.2f} cm"
+                f" [attempt {attempt + 1}]")
             sanity["ate_cm"] = round(ate * 100, 3)
             # the run is sane if the streamed trajectory actually tracked
             sanity["verified"] = ate < 0.10
-        except Exception as e:
-            log(f"sanity readback failed (relay d2h): {e}")
-
-    t = threading.Thread(target=_read, daemon=True)
-    t.start()
-    t.join(timeout=90.0)
-    hung = t.is_alive()
-    if hung:
-        log("sanity readback timed out (relay d2h hang) — "
-            "metric marked unverified")
+            break
+        if "err" in done:
+            log(f"sanity readback failed: {done['err']}")
+            break
+        hung = True
+        log(f"sanity readback attempt {attempt + 1} timed out "
+            "(relay d2h hang) — retrying with a fresh device read")
+    else:
+        log("all sanity readback attempts hung — metric marked unverified")
+    hung = hung and not sanity["verified"]
 
     print(json.dumps({
         "metric": "tracking_fps_per_chip",

@@ -89,6 +89,81 @@ def test_covisibility_counts_shared():
     assert W[0, 0] == 0
 
 
+def _random_map(cfg, k_used=12, n_lm=300, seed=0):
+    """Hand-built multi-KF map with tombstones, for derived-structure
+    equivalence tests."""
+    rng = np.random.default_rng(seed)
+    m = ms.init_map(cfg)
+    K = cfg.map.max_keyframes
+    M = cfg.extractor.max_keypoints
+    L = cfg.map.max_landmarks
+    kf_valid = np.zeros(K, bool)
+    kf_valid[:k_used] = True
+    kf_valid[3] = False                      # culled slot
+    kf_lm = np.full((K, M), -1, np.int32)
+    kp_valid = np.zeros((K, M), bool)
+    lm_valid = np.zeros(L, bool)
+    lm_valid[:n_lm] = True
+    lm_valid[5] = False                      # tombstoned landmark
+    for k in range(k_used):
+        n_obs = int(rng.integers(30, min(120, M)))
+        feats = rng.choice(M, n_obs, replace=False)
+        lms = rng.choice(n_lm, n_obs, replace=False)
+        kf_lm[k, feats] = lms
+        kp_valid[k, feats] = True
+    # an invalid-keypoint binding that must be ignored everywhere
+    kf_lm[0, np.nonzero(~kp_valid[0])[0][0]] = 7
+    return m._replace(
+        kf_valid=jnp.asarray(kf_valid),
+        kf_lm=jnp.asarray(kf_lm),
+        kf_kp_valid=jnp.asarray(kp_valid),
+        lm_valid=jnp.asarray(lm_valid),
+        kf_id=jnp.asarray(
+            np.where(kf_valid, np.arange(K), -1).astype(np.int32)),
+    )
+
+
+def test_scale_primitives_match_dense():
+    """kf_votes / landmark_mask_of_kfs / covis_row(s) / blocked
+    covisibility must equal the dense incidence formulation exactly —
+    they replace it on every per-frame/per-KF path at scale."""
+    cfg = small_config()
+    m = _random_map(cfg)
+    K = cfg.map.max_keyframes
+    L = cfg.map.max_landmarks
+    rng = np.random.default_rng(1)
+
+    A = np.asarray(ms.incidence(m))
+    W = (A.astype(np.int64) @ A.T)
+    np.fill_diagonal(W, 0)
+    kv = np.asarray(m.kf_valid)
+    W = W * np.outer(kv, kv)
+
+    for s in [0, 2, 3]:
+        np.testing.assert_array_equal(
+            np.asarray(ms.covis_row(m, jnp.int32(s))), W[s])
+    sel = jnp.asarray([0, 1, 4, 11], jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(ms.covis_rows(m, sel)), W[[0, 1, 4, 11]])
+
+    lm_mask = rng.uniform(size=L) < 0.3
+    votes_dense = A.astype(np.int64) @ (
+        lm_mask & np.asarray(m.lm_valid)).astype(np.int64)
+    np.testing.assert_array_equal(
+        np.asarray(ms.kf_votes(m, jnp.asarray(lm_mask))), votes_dense)
+
+    kf_mask = rng.uniform(size=K) < 0.4
+    mask_dense = np.any(A[kf_mask & kv], axis=0)
+    np.testing.assert_array_equal(
+        np.asarray(ms.landmark_mask_of_kfs(m, jnp.asarray(kf_mask))),
+        mask_dense)
+
+    # blocked covisibility (chunk < K exercises the scan path) == dense
+    np.testing.assert_array_equal(
+        np.asarray(ms.covisibility(m, chunk=8)), W)
+    np.testing.assert_array_equal(np.asarray(ms.covisibility(m)), W)
+
+
 def test_landmark_culling_low_found_ratio():
     cfg = small_config()
     m = ms.init_map(cfg)

@@ -321,6 +321,12 @@ class LoopConfig:
     consistency_th: int = 3
     # verify the top-N database candidates, not just the argmax
     top_candidates: int = 3
+    # load the shipped pretrained vocabulary artifact when present
+    # (aslam_tpu/assets/, scripts/train_vocab.py) instead of training
+    # in-run on the first keyframes — the reference likewise loads a
+    # pretrained DBoW3 vocabulary (main.cpp:67); the in-run fallback keeps
+    # working when no artifact matches the configured tree shape
+    use_pretrained_vocab: bool = True
     # BoW-guided matching buckets by ancestor tree nodes this many levels
     # above the leaf (the reference's FeatureVector uses level-up-4 nodes of
     # a 6-level DBoW3 tree, frame.cpp:187; 0 = exact leaf equality, which

@@ -64,6 +64,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--out", default="docs/VOCAB_STUDY.md")
+    ap.add_argument("--vocab-path", default="",
+                    help="also score the pretrained artifact at this path "
+                         "(trained on DISJOINT scene seeds)")
     args = ap.parse_args(argv)
 
     cfg = small_config() if args.small else SystemConfig(camera=TUM_FR1)
@@ -104,9 +107,17 @@ def main(argv=None):
     true_pairs.sort(key=lambda ij: pose_dist(gt[ij[0]], gt[ij[1]])[0])
     probe_pairs = true_pairs[:5]
 
-    for B, D in [(10, 2), (4, 4), (10, 3), (10, 4)]:
+    shapes = [((10, 2), None), ((4, 4), None), ((10, 3), None),
+              ((10, 4), None)]
+    if args.vocab_path:
+        pre = bow.load_vocabulary(args.vocab_path)
+        shapes.append(
+            ((pre.branching, pre.depth), pre))
+
+    for (B, D), pre in shapes:
         W = B ** D
-        vocab = bow.train_vocabulary(train, branching=B, depth=D)
+        vocab = pre if pre is not None else bow.train_vocabulary(
+            train, branching=B, depth=D)
         words = [np.asarray(bow.transform(vocab, jnp.asarray(d)))
                  for d in descs]
         vecs = np.stack([
@@ -128,11 +139,12 @@ def main(argv=None):
                                 * prec))
         ok = prec >= 0.9
         r_at_p90 = float(rec[ok].max()) if ok.any() else 0.0
-        rows.append((f"{B}^{D}={W}", ap_score, r_at_p90))
-        print(f"vocab {B}^{D}={W}: AP={ap_score:.3f} R@P90={r_at_p90:.3f}",
+        name = f"{B}^{D}={W}" + (" (pretrained)" if pre is not None else "")
+        rows.append((name, ap_score, r_at_p90))
+        print(f"vocab {name}: AP={ap_score:.3f} R@P90={r_at_p90:.3f}",
               flush=True)
 
-        if (B, D) == (10, 3):  # production default: match-level comparison
+        if (B, D) == (10, 3) and pre is None:  # match-level comparison
             for i, j in probe_pairs:
                 n_leaf = guided_match_count(
                     jnp.asarray(descs[i]), jnp.asarray(valids[i]),

@@ -226,6 +226,14 @@ class BAConfig:
     #                single scale, and it avoids 1/z² letting the few
     #                closest landmarks dominate the normal equations)
     info_model: str = "inv_z2"
+    # information of the odometry-chain regularizer between temporally
+    # consecutive window cameras in local BA (ops/lba.ChainSpec): keeps
+    # the window solution consistent with the tracked relative motion
+    # instead of letting correlated landmark depth noise shear the KF
+    # chain (r3 loop-scene diagnosis: the rebuilt-from-KF trajectory lost
+    # to the live one without it).  1/m^2 for the translation block; 0
+    # restores the reference's reprojection-only window.
+    chain_prior_weight: float = 2.5e5
     # local-BA padded capacities (static shapes).  max_window_points is the
     # COMPACT landmark index space of the window problem — the Schur
     # coupling tensor is [C, max_window_points, 6, 3], independent of the
@@ -249,6 +257,15 @@ class TrackingConfig:
     # tracking.cpp:308-346)
     local_map_expand: bool = True
     min_matches_tracked: int = 20
+    # information of the odometry motion prior fused into the local-map
+    # pose refinement (ops/ba.pose_only_ba prior edge), in 1/m^2 for the
+    # translation block (rotation block 4x stiffer).  0 restores the
+    # reference's unconstrained reprojection-only re-solve.  2e6 ~= a
+    # 0.7 mm translation sigma — the measured per-frame confidence of the
+    # RANSAC+motion-BA odometry on the hard suite; map evidence overcomes
+    # it exactly when it is persistent (revisit drift), not when it is
+    # single-view landmark noise (r3 loop-scene diagnosis).
+    pose_prior_weight: float = 2.0e6
     # LOST-state pose policy when no relocalizer is available (the
     # reference declares LOST and does nothing, tracking.h:37):
     # "integrate" keeps the raw estimate (reference-faithful drift),

@@ -176,6 +176,25 @@ def build_window(m: ms.MapState, slot: jnp.ndarray, cfg: SystemConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def build_chain(m: ms.MapState, spec: WindowSpec,
+                cfg: SystemConfig) -> lba.ChainSpec:
+    """Odometry-chain edges between temporally consecutive window cams,
+    anchored at their CURRENT relative transforms (the tracked,
+    prior-fused chain) — see ops/lba.ChainSpec."""
+    from aslam_tpu.utils.se3 import T_inv
+
+    ids = jnp.where(spec.cam_valid, m.kf_id[spec.cam_slots], 2**30)
+    order = jnp.argsort(ids).astype(jnp.int32)
+    c_i = order[:-1]
+    c_j = order[1:]
+    both = (ids[c_i] < 2**30) & (ids[c_j] < 2**30)
+    T = m.kf_T_cw[spec.cam_slots]
+    meas = T[c_i] @ T_inv(T[c_j])
+    w = jnp.where(both, cfg.ba.chain_prior_weight, 0.0)
+    return lba.ChainSpec(c_i=c_i, c_j=c_j, c_meas=meas, c_w=w)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def build_problem(m: ms.MapState, spec: WindowSpec, cfg: SystemConfig):
     """Extract the BAProblem arrays for the window.  Edges are the window
     KFs' feature slots (static shape C*M, masked).
@@ -317,7 +336,9 @@ class LocalMapping:
         if cfg.map.enable_local_ba and n_kfs > 2:
             spec = build_window(m, slot_j, cfg)
             prob, lw_ids, _ = build_problem(m, spec, cfg)
-            prob, _ = lba.local_ba(prob, cfg.camera, cfg.ba)
+            chain = (build_chain(m, spec, cfg)
+                     if cfg.ba.chain_prior_weight > 0 else None)
+            prob, _ = lba.local_ba(prob, cfg.camera, cfg.ba, chain=chain)
             m = write_back(m, spec, prob, lw_ids, cfg)
 
         # 5. keyframe culling (scalar readbacks at KF rate, not frame rate).

@@ -68,6 +68,7 @@ def track_local_map(
     frame: frame_mod.FrameData,
     assoc: jnp.ndarray,
     cfg: SystemConfig,
+    prior_weight: jnp.ndarray | float | None = None,
 ) -> LocalMapResult:
     cam = cfg.camera
     K = m.kf_valid.shape[0]
@@ -145,9 +146,12 @@ def track_local_map(
     lm_idx = jnp.where(assoc2 >= 0, assoc2, 0)
     pts_w = m.lm_pos[lm_idx]
     obs_valid = (assoc2 >= 0) & m.lm_valid[lm_idx] & frame.feat.valid
+    if prior_weight is None:
+        prior_weight = cfg.tracking.pose_prior_weight
     res = ba.pose_only_ba(
         frame.T_cw, pts_w, frame.xy_und, frame.ur, frame.depth,
         obs_valid, cam, cfg.ba,
+        prior_weight=prior_weight,
     )
     enough = jnp.sum(obs_valid.astype(jnp.int32)) >= 10
     T_out = jnp.where(enough, res.T_cw, frame.T_cw)
@@ -256,7 +260,11 @@ def track_step(
         odo = rba_step(last_frame, frame, key, cfg)
     frame = frame_mod.with_pose(frame, odo.T_cw2)
     assoc = carry_associations(last_assoc, odo.match_idx, odo.inliers)
-    lm_res = track_local_map(m, frame, assoc, cfg)
+    # odometry/map fusion: the motion prior only applies when odometry
+    # itself was healthy (a failed RANSAC must not anchor the pose)
+    odo_ok = odo.n_inliers >= cfg.ransac.min_inliers
+    w_prior = jnp.where(odo_ok, cfg.tracking.pose_prior_weight, 0.0)
+    lm_res = track_local_map(m, frame, assoc, cfg, prior_weight=w_prior)
     m = update_lm_stats(m, lm_res.visible_mask, lm_res.found_mask)
     dt, dr = pose_distance(last_kf_T, lm_res.T_cw)
     stats = jnp.stack([

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from aslam_tpu.config import BAConfig, CameraModel
 from aslam_tpu.ops.linalg import chol_solve
-from aslam_tpu.utils.se3 import se3_exp
+from aslam_tpu.utils.se3 import T_inv, se3_exp, se3_log
 
 
 class PoseBAResult(NamedTuple):
@@ -107,9 +107,30 @@ def pose_only_ba(
     valid: jnp.ndarray,      # [N] bool
     cam: CameraModel,
     cfg: BAConfig,
+    prior_weight: jnp.ndarray | float = 0.0,
 ) -> PoseBAResult:
-    """Motion-only BA: optimize T_cw holding landmarks fixed."""
+    """Motion-only BA: optimize T_cw holding landmarks fixed.
+
+    `prior_weight` > 0 adds a motion-prior edge anchored at T_cw_init
+    with information prior_weight * diag(1,1,1, 4,4,4) — an odometry/map
+    FUSION term with no reference counterpart (the reference's
+    TrackLocalMap lets reprojection edges fully re-solve the pose,
+    pnpsolver.cpp:17-213).  Map landmarks carry frozen single-view depth
+    noise (sigma_z = 0.01 z^2, ~4-9 cm at 2-3 m); with fast landmark
+    turnover (forward/rotating motion) an unconstrained re-solve walks
+    randomly with that noise — measurably 15-20x worse than pure VO on
+    hard loop scenes (scripts/slam_matrix.py, r3 diagnosis).  The prior
+    bounds the per-frame pull to what reprojection evidence justifies
+    against the odometry confidence, while persistent evidence (a revisit
+    with hundreds of consistent old landmarks) still overcomes it and
+    corrects drift."""
     N = pts_w.shape[0]
+    prior_w = jnp.asarray(prior_weight, jnp.float32)
+    # rotation block stiffer: 1 rad of rotation moves the scene ~z meters
+    # at depth z, so a (m^-2, rad^-2) diagonal of (1, 4) roughly equalizes
+    # the two blocks' pixel-space leverage at the 2-3 m working depth
+    H_prior = prior_w * jnp.diag(
+        jnp.asarray([1.0, 1.0, 1.0, 4.0, 4.0, 4.0], jnp.float32))
     is_stereo = obs_ur >= 0
     if cfg.info_model == "constant":
         # constant pixel-noise model; depth-less observations keep their
@@ -134,10 +155,17 @@ def pose_only_ba(
         b = jnp.einsum("n,nri,nr->i", w, J, r)
         return H, b, chi2
 
+    T_prior_inv = T_inv(T_cw_init)
+
     def solve_round(T, inlier_mask, robust):
         def body(_, carry):
             T, lam = carry
             H, b, _ = edge_terms(T, inlier_mask, robust)
+            # motion-prior edge: r_p = log(T * T_init^-1) (left-mult twist
+            # taking T back to the odometry anchor), J = I to first order
+            r_p = se3_log(T @ T_prior_inv)
+            H = H + H_prior
+            b = b + H_prior @ r_p
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
             xi = -chol_solve(Hd, b)
             # guard: reject steps that are non-finite

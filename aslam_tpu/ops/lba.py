@@ -59,6 +59,51 @@ class BAStats(NamedTuple):
     n_edges: jnp.ndarray     # scalar int32 active edges
 
 
+class ChainSpec(NamedTuple):
+    """Odometry-chain regularizer for the window: relative-pose edges
+    between temporally consecutive window cameras, anchored at their
+    relative transforms when the window was built.
+
+    No reference counterpart — the g2o window re-solves poses against
+    reprojection alone (localbundleadjustment.cpp:82-206).  Window
+    landmarks carry correlated single-view depth noise; an unconstrained
+    re-solve shears the keyframe chain to fit it (the r3 loop-scene
+    diagnosis measured the rebuilt-from-KF trajectory LOSING to the live
+    one for exactly this reason).  The chain edges keep the solution
+    consistent with the tracked (odometry-prior-fused) relative motion
+    unless reprojection evidence is persistent."""
+
+    c_i: jnp.ndarray     # [P] int32 window-cam index
+    c_j: jnp.ndarray     # [P] int32
+    c_meas: jnp.ndarray  # [P,4,4] anchored T_i T_j^-1
+    c_w: jnp.ndarray     # [P] float32 information (0 = inactive)
+
+
+def chain_terms(cam_T: jnp.ndarray, chain: ChainSpec):
+    """Per-edge residuals/Jacobians of the chain regularizer; returns
+    (H_off [C,C,6,6] scatter-ready blocks, b [C,6], chi2 scalar)."""
+    from aslam_tpu.ops.pose_graph import _edge_jacobians, edge_residual
+
+    C = cam_T.shape[0]
+    T_i = cam_T[chain.c_i]
+    T_j = cam_T[chain.c_j]
+    r = jax.vmap(edge_residual)(T_i, T_j, chain.c_meas)        # [P,6]
+    Ji, Jj = jax.vmap(_edge_jacobians)(T_i, T_j, chain.c_meas)  # [P,6,6]
+    w = chain.c_w
+    wJi = w[:, None, None] * Ji
+    wJj = w[:, None, None] * Jj
+    H = jnp.zeros((C, C, 6, 6))
+    H = H.at[chain.c_i, chain.c_i].add(jnp.einsum("eri,erj->eij", wJi, Ji))
+    H = H.at[chain.c_j, chain.c_j].add(jnp.einsum("eri,erj->eij", wJj, Jj))
+    H = H.at[chain.c_i, chain.c_j].add(jnp.einsum("eri,erj->eij", wJi, Jj))
+    H = H.at[chain.c_j, chain.c_i].add(jnp.einsum("eri,erj->eij", wJj, Ji))
+    b = jnp.zeros((C, 6)).at[chain.c_i].add(
+        jnp.einsum("eri,er->ei", wJi, r)
+    ).at[chain.c_j].add(jnp.einsum("eri,er->ei", wJj, r))
+    chi2 = jnp.sum(w * jnp.sum(r * r, axis=-1))
+    return H, b, chi2
+
+
 def edge_terms(prob: BAProblem, cam: CameraModel, cfg: BAConfig, robust: bool):
     """Batched per-edge residuals, Jacobians, weights, chi2."""
     T_e = prob.cam_T[prob.e_cam]               # [E,4,4]
@@ -140,9 +185,14 @@ def schur_solve(
     cam_fixed: jnp.ndarray,
     point_valid: jnp.ndarray,
     lam: float,
+    H_chain=None, b_chain=None,
 ):
     """Schur-complement solve: eliminate landmarks, solve cameras, back-
-    substitute landmarks.  Returns (dxc [C,6], dxl [L,3])."""
+    substitute landmarks.  Returns (dxc [C,6], dxl [L,3]).
+
+    H_chain/b_chain (optional) are camera-camera blocks from the odometry
+    chain regularizer — they touch no landmarks, so they add to the
+    reduced camera system AFTER elimination."""
     C, L = W.shape[0], W.shape[1]
 
     # LM damping
@@ -161,8 +211,13 @@ def schur_solve(
     S = -jnp.dot(Ym, Wm.T, preferred_element_type=jnp.float32)
     S = S.reshape(C, 6, C, 6)
     S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Hcc)
+    if H_chain is not None:
+        S = S + H_chain.transpose(0, 2, 1, 3)
     S = S.reshape(C * 6, C * 6)
-    rhs = (bc - jnp.einsum("clij,lj->ci", Y, bl)).reshape(C * 6)
+    rhs = (bc - jnp.einsum("clij,lj->ci", Y, bl))
+    if b_chain is not None:
+        rhs = rhs + b_chain
+    rhs = rhs.reshape(C * 6)
 
     # damping + fixed-camera rows -> identity
     diag_scale = jnp.maximum(jnp.abs(jnp.diagonal(S)), 1e-6)
@@ -194,6 +249,7 @@ def apply_update(prob: BAProblem, dxc: jnp.ndarray, dxl: jnp.ndarray) -> BAProbl
 def ba_iterate(
     prob: BAProblem, cam: CameraModel, cfg: BAConfig,
     iters: int, robust: bool, lam: float = 1e-4,
+    chain: ChainSpec | None = None,
 ) -> BAProblem:
     """Monotone Levenberg-Marquardt: a step that INCREASES chi2 is rejected
     and the damping raised (g2o's accept/reject schedule, which the
@@ -201,14 +257,22 @@ def ba_iterate(
     extra assemble per iteration; prevents divergent steps on
     ill-conditioned windows (ambiguous texture, marginal parallax)."""
 
+    def chi2_and_chain(p):
+        if chain is None:
+            return None, None, 0.0
+        return chain_terms(p.cam_T, chain)
+
     def body(_, carry):
         p, lam = carry
         Hcc, bc, Hll, bl, W, chi2_0 = assemble(p, cam, cfg, robust)
+        H_ch, b_ch, chi2_ch0 = chi2_and_chain(p)
         dxc, dxl = schur_solve(Hcc, bc, Hll, bl, W, p.cam_fixed,
-                               p.point_valid, lam)
+                               p.point_valid, lam,
+                               H_chain=H_ch, b_chain=b_ch)
         p_new = apply_update(p, dxc, dxl)
         *_, chi2_1 = assemble(p_new, cam, cfg, robust)
-        ok = chi2_1 < chi2_0
+        _, _, chi2_ch1 = chi2_and_chain(p_new)
+        ok = (chi2_1 + chi2_ch1) < (chi2_0 + chi2_ch0)
         p = jax.tree.map(lambda a, b: jnp.where(ok, a, b), p_new, p)
         lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-7),
                         jnp.minimum(lam * 8.0, 1e2))
@@ -229,12 +293,15 @@ def prune_outlier_edges(prob: BAProblem, cam: CameraModel, cfg: BAConfig) -> BAP
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
-def local_ba(prob: BAProblem, cam: CameraModel, cfg: BAConfig):
+def local_ba(prob: BAProblem, cam: CameraModel, cfg: BAConfig,
+             chain: ChainSpec | None = None):
     """Full local-BA schedule (lba.cpp:212-255): robust iterations, outlier
     pruning, then non-robust refinement.  Returns (problem, stats)."""
-    prob = ba_iterate(prob, cam, cfg, cfg.local_iters_1, robust=True)
+    prob = ba_iterate(prob, cam, cfg, cfg.local_iters_1, robust=True,
+                      chain=chain)
     prob = prune_outlier_edges(prob, cam, cfg)
-    prob = ba_iterate(prob, cam, cfg, cfg.local_iters_2, robust=False)
+    prob = ba_iterate(prob, cam, cfg, cfg.local_iters_2, robust=False,
+                      chain=chain)
     _, _, _, _, chi2, active = edge_terms(prob, cam, cfg, robust=False)
     stats = BAStats(
         chi2=jnp.sum(jnp.where(active, chi2, 0.0)),

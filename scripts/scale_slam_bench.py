@@ -1,0 +1,218 @@
+"""Config-5 live-map rehearsal: the SLAM system itself grows a map to
+1000+ keyframes across multiple input sequences, with loop closing,
+while per-stage wall time is bucketed by live map size.
+
+This is the bench VERDICT r2 demanded: the 10k-KF numbers of
+scale_bench.py are standalone synthetic BA problems, while the 256-KF
+live ceiling came from O(K*L) derived-structure rebuilds.  After the r3
+scale refactor (kf_votes / covis_row / blocked covisibility / compacted
+projection matching) the live per-stage cost must grow sub-linearly in
+keyframe count; this script measures it end-to-end on a real session:
+
+  * one closed room scene (320x240 raycast renders keep generation
+    tractable), several SEQUENCES of a bounded waypoint walk whose step
+    size makes nearly every frame a keyframe;
+  * `SlamSystem.new_sequence()` between sequences — cross-sequence
+    relocalization anchors each new sequence into the SAME map;
+  * per-stage timers (tracking step / local mapping / loop closing)
+    bucketed by live KF count;
+  * final multi-sequence ATE per sequence + overall (rebuilt trajectory).
+
+Usage (TPU by default; JAX_PLATFORMS=cpu works with --kfs 192 --small):
+  python scripts/scale_slam_bench.py --kfs 2048 --seqs 4
+Writes docs/SCALE_SLAM.md with --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bounded_walk(n_frames, rng, half_x=1.6, half_z=2.2, step=0.17,
+                 start=None):
+    """Waypoint random walk inside the room, camera looking along the
+    velocity: step size > kf_min_trans makes every frame a keyframe."""
+    from aslam_tpu.utils.synthetic_hard import _look_at_pose
+
+    C = np.array([0.0, 0.0, 0.0]) if start is None else np.asarray(start)
+    wp = rng.uniform([-half_x, -0.25, -half_z], [half_x, 0.25, half_z])
+    poses = []
+    fwd_s = None
+    for _ in range(n_frames):
+        d = wp - C
+        if np.linalg.norm(d) < 0.3:
+            wp = rng.uniform([-half_x, -0.25, -half_z],
+                             [half_x, 0.25, half_z])
+            d = wp - C
+        d = d / np.linalg.norm(d)
+        C = C + d * step
+        fwd = np.array([d[0], 0.0, d[2]])
+        fwd = fwd / max(np.linalg.norm(fwd), 1e-6)
+        # smooth the viewing direction so rotation stays under the rot
+        # trigger most frames but translation fires the KF rule
+        fwd_s = fwd if fwd_s is None else 0.7 * fwd_s + 0.3 * fwd
+        fwd_s = fwd_s / np.linalg.norm(fwd_s)
+        poses.append(_look_at_pose(C.copy(), fwd_s.copy()))
+    return np.stack(poses)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kfs", type=int, default=1024,
+                    help="keyframe capacity / target live size")
+    ap.add_argument("--seqs", type=int, default=4)
+    ap.add_argument("--frames-per-seq", type=int, default=0,
+                    help="default: kfs/seqs + margin")
+    ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args(argv)
+
+    import dataclasses
+
+    import jax
+
+    from aslam_tpu.config import (BAConfig, CameraModel, ExtractorConfig,
+                                  MapConfig, SystemConfig)
+    from aslam_tpu.models.system import SlamSystem
+    from aslam_tpu.utils import synthetic_hard as sh
+    from aslam_tpu.utils import trajectory
+
+    cam = CameraModel(fx=258.6, fy=258.2, cx=159.3, cy=127.6,
+                      width=320, height=240)
+    L = max(args.kfs * 64, 16384)
+    cfg = SystemConfig(
+        camera=cam,
+        extractor=ExtractorConfig(n_features=512, max_keypoints=512),
+        map=MapConfig(max_keyframes=args.kfs, max_landmarks=L),
+        ba=BAConfig(max_window_cams=32, max_fixed_cams=32,
+                    max_window_points=2048, max_edges=8192),
+        use_loop_closing=not args.no_loop,
+    )
+    print("devices:", jax.devices(), flush=True)
+    print(f"capacity: K={args.kfs} L={L}", flush=True)
+
+    rng = np.random.default_rng(3)
+    scene = sh.room_scene(rng, half_x=2.2, half_y=1.4, half_z=2.8)
+    n_pf = args.frames_per_seq or (args.kfs // args.seqs + 16)
+
+    slam = SlamSystem(cfg, seed=0)
+    stage_t: dict[str, list[tuple[int, float]]] = {
+        "track": [], "mapping": [], "loop": []}
+
+    # instrument the subsystem calls with per-stage barriers
+    import jax as _jax
+
+    orig_lm = slam.local_mapping.process_keyframe
+    orig_lc = (slam.loop_closing.process_keyframe
+               if slam.loop_closing else None)
+
+    def timed_lm(m, slot, kf_id, n_kfs):
+        t0 = time.time()
+        m = orig_lm(m, slot, kf_id, n_kfs)
+        _jax.block_until_ready(m.kf_T_cw)
+        stage_t["mapping"].append((n_kfs, time.time() - t0))
+        return m
+
+    slam.local_mapping.process_keyframe = timed_lm
+    if orig_lc is not None:
+        def timed_lc(m, slot, kf_id):
+            t0 = time.time()
+            m = orig_lc(m, slot, kf_id)
+            _jax.block_until_ready(m.kf_T_cw)
+            stage_t["loop"].append((slam.tracking.n_kfs, time.time() - t0))
+            return m
+
+        slam.loop_closing.process_keyframe = timed_lc
+
+    gt_all, seq_ranges = [], []
+    t_start = time.time()
+    frame_i = 0
+    for s in range(args.seqs):
+        start = rng.uniform([-1.2, -0.1, -1.8], [1.2, 0.1, 1.8])
+        poses = bounded_walk(n_pf, rng, start=start)
+        if s > 0:
+            slam.new_sequence()
+        lo = frame_i
+        for i in range(n_pf):
+            gain = 1.0 + 0.15 * np.sin(2 * np.pi * (frame_i) / 90.0)
+            img, dep, _ = sh.render(cam, poses[i], scene, rng=rng,
+                                    illum_gain=gain)
+            t0 = time.time()
+            slam.process(img, dep, t=frame_i * 0.033)
+            _jax.block_until_ready(slam.tracking.map.kf_T_cw)
+            stage_t["track"].append(
+                (slam.tracking.n_kfs, time.time() - t0))
+            gt_all.append(poses[i])
+            frame_i += 1
+            if slam.tracking.n_kfs >= cfg.map.max_keyframes - 2:
+                break
+        seq_ranges.append((lo, frame_i))
+        print(f"seq {s}: frames {lo}..{frame_i}  kfs={slam.tracking.n_kfs} "
+              f"lms={int(np.asarray(slam.map.lm_valid).sum())} "
+              f"loops={len(slam.loop_closing.loops) if slam.loop_closing else 0} "
+              f"[{time.time() - t_start:.0f}s]", flush=True)
+        if slam.tracking.n_kfs >= cfg.map.max_keyframes - 2:
+            break
+
+    # ---- per-stage timing, bucketed by live KF count
+    buckets = [0, 128, 256, 512, 1024, 2048, 4096]
+    lines = ["| stage | " + " | ".join(
+        f"K in [{buckets[i]},{buckets[i + 1]})"
+        for i in range(len(buckets) - 1)) + " |",
+        "|---|" + "---|" * (len(buckets) - 1)]
+    for stage, rec in stage_t.items():
+        if not rec:
+            continue
+        row = [stage]
+        for i in range(len(buckets) - 1):
+            sel = [dt for k, dt in rec if buckets[i] <= k < buckets[i + 1]]
+            # drop the top 2 outliers per bucket (compile / retrain spikes)
+            if len(sel) > 4:
+                sel = sorted(sel)[:-2]
+            row.append(f"{1e3 * np.mean(sel):.0f} ms" if sel else "-")
+        lines.append("| " + " | ".join(row) + " |")
+    table = "\n".join(lines)
+    print(table, flush=True)
+
+    # ---- multi-sequence accuracy
+    gt_c = np.stack([np.linalg.inv(T)[:3, 3] for T in gt_all])
+    rebuilt = slam.rebuilt_trajectory()
+    est_c = np.stack([np.linalg.inv(T)[:3, 3] for T in rebuilt])
+    ate_rows = []
+    for s, (lo, hi) in enumerate(seq_ranges):
+        ate = trajectory.ate_rmse(est_c[lo:hi], gt_c[lo:hi])
+        ate_rows.append((s, hi - lo, ate))
+        print(f"seq {s}: ATE {ate:.4f} m over {hi - lo} frames", flush=True)
+    ate_all = trajectory.ate_rmse(est_c, gt_c)
+    print(f"overall multi-sequence ATE: {ate_all:.4f} m  "
+          f"({len(gt_all)} frames, {slam.tracking.n_kfs} KFs)", flush=True)
+
+    if args.out:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write(
+                "# Live-map scale rehearsal (config 5 precursor)\n\n"
+                f"One room scene, {len(seq_ranges)} sequences via "
+                "`new_sequence()` + relocalization, every-frame keyframes, "
+                f"loop closing {'ON' if not args.no_loop else 'OFF'}; "
+                f"capacity K={args.kfs}, L={L}.  Per-stage wall time "
+                "bucketed by LIVE keyframe count (generated by "
+                "scripts/scale_slam_bench.py; top-2 outliers per bucket "
+                "dropped — compile/vocab-train spikes).\n\n"
+                + table + "\n\n## Multi-sequence accuracy\n\n"
+                "| sequence | frames | ATE (m) |\n|---|---|---|\n")
+            for s, n, ate in ate_rows:
+                f.write(f"| {s} | {n} | {ate:.4f} |\n")
+            f.write(f"| **all** | {len(gt_all)} | **{ate_all:.4f}** |\n")
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

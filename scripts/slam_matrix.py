@@ -41,6 +41,10 @@ def _ext(cfg, **kw):
     return cfg.replace(extractor=dataclasses.replace(cfg.extractor, **kw))
 
 
+def _trk(cfg, **kw):
+    return cfg.replace(tracking=dataclasses.replace(cfg.tracking, **kw))
+
+
 # name -> (transform(cfg) -> cfg, use_loop_closing)
 CONFIGS = {
     # reference-semantics everything
@@ -65,6 +69,12 @@ CONFIGS = {
     "default": (lambda c: c, False),
     "default-loop": (lambda c: c, True),
     "vo": (lambda c: c, False),   # handled specially: pure odometry chain
+    # odometry-prior fusion sweep (r3): default stack with the pose prior
+    # at different stiffnesses; "noprior" = the r2 unconstrained re-solve
+    "noprior": (lambda c: _trk(c, pose_prior_weight=0.0), False),
+    "prior2e5": (lambda c: _trk(c, pose_prior_weight=2.0e5), False),
+    "prior2e7": (lambda c: _trk(c, pose_prior_weight=2.0e7), False),
+    "noprior-loop": (lambda c: _trk(c, pose_prior_weight=0.0), True),
 }
 
 

@@ -44,9 +44,17 @@ def test_hard_loop_tracking_survives():
     est_c = np.stack([np.linalg.inv(T)[:3, 3]
                       for T in slam.tracking.poses])
     ate = trajectory.ate_rmse(est_c, gt_c)
-    # 60 frames of a 1 m-radius circle at 320x240 with noise + distortion:
-    # loose bound, but far below the pre-fix death spiral (>0.8 m)
-    assert ate < 0.35, ate
+    # Loop-scene SLAM accuracy regression pin (VERDICT r2 #1): with the
+    # r3 odometry/map fusion (pose prior + LBA chain regularizer) this
+    # run measures ~0.036 m; without the prior it was ~0.147 m and the
+    # pre-r2 death spiral >0.8 m.  Bound at 2x the measured value.
+    assert ate < 0.08, ate
+    reb_c = np.stack([np.linalg.inv(T)[:3, 3]
+                      for T in slam.rebuilt_trajectory()])
+    ate_reb = trajectory.ate_rmse(reb_c, gt_c)
+    # the rebuilt-from-KF trajectory must not lose to the live one by
+    # more than noise (the LBA chain regularizer guarantee)
+    assert ate_reb < ate * 1.3 + 0.01, (ate, ate_reb)
 
 
 def test_adaptive_beats_static_on_low_contrast():

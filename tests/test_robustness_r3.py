@@ -92,6 +92,33 @@ def test_biased_loop_weight_vs_hardcoded(rng):
     assert errs["weighted"] <= errs["hard"] + 1e-6, errs
 
 
+def test_post_loop_gba_improves_on_pose_graph(rng):
+    """The pose graph leaves a seam at the loop ends (it moves only
+    poses); the staged GBA-after-loop intent of the reference
+    (globalbundleadjustment.cpp:154-190) is wired live in r3 — a bounded
+    full-map BA after correct_map must reduce mean KF pose error vs
+    pose-graph-only on a drifted loop."""
+    import dataclasses
+
+    from aslam_tpu.models.loopclosing import LoopClosing
+
+    results = {}
+    for iters in (0, 8):
+        rng2 = np.random.default_rng(7)        # identical map both arms
+        cfg, m, T_true, T_est, drift, n_kfs = build_looped_map(rng2)
+        cfg = cfg.replace(
+            loop=dataclasses.replace(cfg.loop, post_gba_iters=iters))
+        lc = LoopClosing(cfg, train_after_kfs=4)
+        for k in range(n_kfs):
+            m = lc.process_keyframe(m, k, k)
+        assert len(lc.loops) >= 1, f"no loop closed (iters={iters})"
+        err = np.linalg.norm(
+            np.asarray(m.kf_T_cw)[:n_kfs, :3, 3] - T_true[:n_kfs, :3, 3],
+            axis=1)
+        results[iters] = float(err.mean())
+    assert results[8] < results[0], results
+
+
 def _corridor_map_and_frame(cfg, rng):
     """A 6-KF corridor along +x.  Each KF owns 40 exclusive landmarks;
     adjacent KFs additionally share 20 (covisibility >= 15).  The test

@@ -67,6 +67,9 @@ def main(argv=None):
     ap.add_argument("--vocab-path", default="",
                     help="also score the pretrained artifact at this path "
                          "(trained on DISJOINT scene seeds)")
+    ap.add_argument("--pretrained-only", action="store_true",
+                    help="skip the in-run-trained shapes (append mode: "
+                         "keeps docs table regeneration cheap)")
     args = ap.parse_args(argv)
 
     cfg = small_config() if args.small else SystemConfig(camera=TUM_FR1)
@@ -109,6 +112,8 @@ def main(argv=None):
 
     shapes = [((10, 2), None), ((4, 4), None), ((10, 3), None),
               ((10, 4), None)]
+    if args.pretrained_only:
+        shapes = []
     if args.vocab_path:
         pre = bow.load_vocabulary(args.vocab_path)
         shapes.append(

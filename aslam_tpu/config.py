@@ -338,12 +338,16 @@ class LoopConfig:
     consistency_th: int = 3
     # verify the top-N database candidates, not just the argmax
     top_candidates: int = 3
-    # load the shipped pretrained vocabulary artifact when present
-    # (aslam_tpu/assets/, scripts/train_vocab.py) instead of training
-    # in-run on the first keyframes — the reference likewise loads a
-    # pretrained DBoW3 vocabulary (main.cpp:67); the in-run fallback keeps
-    # working when no artifact matches the configured tree shape
-    use_pretrained_vocab: bool = True
+    # load the shipped pretrained vocabulary artifact (aslam_tpu/assets/,
+    # scripts/train_vocab.py) instead of training in-run on the first
+    # keyframes.  Default OFF, data-backed (docs/VOCAB_STUDY.md): on the
+    # procedural hard-synthetic suite a cross-scene vocabulary scores
+    # AP 0.06 vs 0.39 for same-scene in-run training — the synthetic
+    # textures are scene-idiosyncratic, unlike real imagery where a
+    # generic vocabulary (the reference's ~100 MB DBoW3 artifact,
+    # main.cpp:67) transfers.  Real-sensor deployments should turn this
+    # on with an artifact trained on in-domain imagery.
+    use_pretrained_vocab: bool = False
     # BoW-guided matching buckets by ancestor tree nodes this many levels
     # above the leaf (the reference's FeatureVector uses level-up-4 nodes of
     # a 6-level DBoW3 tree, frame.cpp:187; 0 = exact leaf equality, which

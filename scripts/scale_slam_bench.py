@@ -35,7 +35,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bounded_walk(n_frames, rng, half_x=1.6, half_z=2.2, step=0.17,
+def bounded_walk(n_frames, rng, half_x=1.6, half_z=2.2, step=0.09,
                  start=None):
     """Waypoint random walk inside the room, camera looking along the
     velocity: step size > kf_min_trans makes every frame a keyframe."""
@@ -100,7 +100,8 @@ def main(argv=None):
 
     rng = np.random.default_rng(3)
     scene = sh.room_scene(rng, half_x=2.2, half_y=1.4, half_z=2.8)
-    n_pf = args.frames_per_seq or (args.kfs // args.seqs + 16)
+    # at 0.09 m/frame the 0.15 m keyframe rule fires every ~2 frames
+    n_pf = args.frames_per_seq or int(args.kfs / args.seqs * 2.3)
 
     slam = SlamSystem(cfg, seed=0)
     stage_t: dict[str, list[tuple[int, float]]] = {

@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bounded_walk(n_frames, rng, half_x=1.6, half_z=2.2, step=0.09,
-                 start=None):
+                 start=None, start_fwd=None):
     """Waypoint random walk inside the room, camera looking along the
     velocity: step size > kf_min_trans makes every frame a keyframe."""
     from aslam_tpu.utils.synthetic_hard import _look_at_pose
@@ -44,20 +44,24 @@ def bounded_walk(n_frames, rng, half_x=1.6, half_z=2.2, step=0.09,
     C = np.array([0.0, 0.0, 0.0]) if start is None else np.asarray(start)
     wp = rng.uniform([-half_x, -0.25, -half_z], [half_x, 0.25, half_z])
     poses = []
-    fwd_s = None
+    vel = None if start_fwd is None else np.asarray(start_fwd, np.float64)
+    fwd_s = None if start_fwd is None else np.asarray(start_fwd, np.float64)
     for _ in range(n_frames):
         d = wp - C
-        if np.linalg.norm(d) < 0.3:
+        if np.linalg.norm(d) < 0.35:
             wp = rng.uniform([-half_x, -0.25, -half_z],
                              [half_x, 0.25, half_z])
             d = wp - C
         d = d / np.linalg.norm(d)
-        C = C + d * step
-        fwd = np.array([d[0], 0.0, d[2]])
+        # inertial motion: velocity turns gradually toward the waypoint,
+        # so frame-to-frame rotation stays small enough for matching
+        vel = d if vel is None else 0.92 * vel + 0.08 * d
+        vel = vel / max(np.linalg.norm(vel), 1e-6)
+        C = C + vel * step
+        C = np.clip(C, [-half_x, -0.3, -half_z], [half_x, 0.3, half_z])
+        fwd = np.array([vel[0], 0.0, vel[2]])
         fwd = fwd / max(np.linalg.norm(fwd), 1e-6)
-        # smooth the viewing direction so rotation stays under the rot
-        # trigger most frames but translation fires the KF rule
-        fwd_s = fwd if fwd_s is None else 0.7 * fwd_s + 0.3 * fwd
+        fwd_s = fwd if fwd_s is None else 0.9 * fwd_s + 0.1 * fwd
         fwd_s = fwd_s / np.linalg.norm(fwd_s)
         poses.append(_look_at_pose(C.copy(), fwd_s.copy()))
     return np.stack(poses)
@@ -135,9 +139,20 @@ def main(argv=None):
     gt_all, seq_ranges = [], []
     t_start = time.time()
     frame_i = 0
+    last_C = None
+    last_fwd = None
     for s in range(args.seqs):
-        start = rng.uniform([-1.2, -0.1, -1.8], [1.2, 0.1, 1.8])
-        poses = bounded_walk(n_pf, rng, start=start)
+        if last_C is None:
+            start = rng.uniform([-1.2, -0.1, -1.8], [1.2, 0.1, 1.8])
+        else:
+            # realistic session restart: the sensor resumes NEAR where the
+            # previous sequence ended, looking roughly the same way (plus
+            # a gap the relocalizer / bootstrap search must absorb)
+            start = np.clip(last_C + rng.normal(0, 0.15, 3),
+                            [-1.4, -0.25, -2.0], [1.4, 0.25, 2.0])
+        poses = bounded_walk(n_pf, rng, start=start, start_fwd=last_fwd)
+        last_C = -poses[-1][:3, :3].T @ poses[-1][:3, 3]
+        last_fwd = poses[-1][2, :3].copy()   # camera +z axis in world
         if s > 0:
             slam.new_sequence()
         lo = frame_i

@@ -172,13 +172,14 @@ def main():
     log(f"stream pass: {n_timed} frames -> {stream_fps:.1f} fps")
     best_fps = stream_fps
 
-    # sanity readback IMMEDIATELY after the stream pass, before the big
-    # chunked programs queue: the relay's d2h path is far more likely to
-    # serve a scalar read while the device queue is shallow (r2/r3 hangs
-    # all happened after the chunked passes).  The stream pass is the same
-    # workload, so its ATE verifies the run.
+    # Sanity readback deliberately happens ONLY at the end: an attempt here
+    # that hangs leaves a blocked reader thread inside the relay client,
+    # which serializes every subsequent dispatch — measured 315-frame
+    # chunked passes pinned at exactly ~28 s (88 ms/frame = one relay
+    # round-trip per dispatch) whenever an earlier read had hung, vs 0.2-1 s
+    # clean.  End-of-run reads also empirically succeed where post-stream
+    # reads hang.
     sanity = {"verified": False, "ate_cm": None}
-    _try_sanity_read(sanity, pose_buf, poses, n_frames, res, attempts=2)
 
     seq_res = None
     if not stream_only:
@@ -234,11 +235,8 @@ def main():
     # (VERDICT round-1 weak #4).  The relay's device-to-host path can hang
     # for minutes, so the read runs under a watchdog; on timeout the metric
     # still goes out, but marked "verified": false.
-    # if the early (post-stream) read failed, retry now
-    hung = False
-    if not sanity["verified"]:
-        hung = not _try_sanity_read(sanity, pose_buf, poses, n_frames, res,
-                                    attempts=2)
+    hung = not _try_sanity_read(sanity, pose_buf, poses, n_frames, res,
+                                attempts=4)
 
     print(json.dumps({
         "metric": "tracking_fps_per_chip",

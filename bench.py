@@ -52,6 +52,8 @@ def _try_sanity_read(sanity, pose_buf, poses, n_frames, res, attempts=2):
             except Exception as e:  # noqa: BLE001
                 done["err"] = e
 
+        if attempt > 0:
+            time.sleep(8.0)   # let the relay's d2h queue drain
         t = threading.Thread(target=_read, daemon=True)
         t.start()
         t.join(timeout=45.0)
@@ -236,7 +238,7 @@ def main():
     # for minutes, so the read runs under a watchdog; on timeout the metric
     # still goes out, but marked "verified": false.
     hung = not _try_sanity_read(sanity, pose_buf, poses, n_frames, res,
-                                attempts=4)
+                                attempts=6)
 
     print(json.dumps({
         "metric": "tracking_fps_per_chip",

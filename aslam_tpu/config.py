@@ -330,6 +330,16 @@ class LoopConfig:
     # joint GN iterations close.
     post_gba_iters: int = 8
     post_gba_method: str = "gn_cg"
+    # correction discrepancy gate: a geometrically VERIFIED loop whose
+    # measured transform already agrees with the current estimate within
+    # these bounds has no drift to correct — record the consistent
+    # revisit, skip the pose-graph + GBA pass.  In revisit-heavy sessions
+    # (every-frame keyframes in one room) verified "loops" fire every few
+    # seconds; running a whole-map correction for a no-op residual dozens
+    # of times accumulates solver noise instead of removing drift
+    # (r3 scale-rehearsal diagnosis).
+    min_correction_t: float = 0.03   # meters
+    min_correction_r: float = 0.03   # radians
     # temporal-consistency gate (the ConsistentGroup design the reference
     # declares but never finishes, loopclosing.h:16-22; ORB-SLAM2's
     # mnCovisibilityConsistencyTh): a loop candidate is only verified after

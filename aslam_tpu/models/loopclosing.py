@@ -380,6 +380,9 @@ class LoopClosing:
         self.last_loop_kf_id = -(10**9)
         self.key = jax.random.PRNGKey(123)
         self.loops: list[tuple[int, int]] = []
+        # verified revisits whose transform already matched the estimate
+        # (no correction applied — the discrepancy gate)
+        self.consistent_revisits: list[tuple[int, int]] = []
         # temporal-consistency state (the ConsistentGroup list,
         # loopclosing.h:16-22): (set of kf_ids in the group, consecutive
         # detection count).  Replaced wholesale each keyframe — a group
@@ -498,6 +501,25 @@ class LoopClosing:
                 break
         else:
             return m
+
+        # discrepancy gate: only correct when the verified transform
+        # actually disagrees with the current estimate (there IS drift)
+        T_rel_est = np.asarray(m.kf_T_cw[slot]) @ np.linalg.inv(
+            np.asarray(m.kf_T_cw[cand_i]))
+        delta = np.asarray(T_qc) @ np.linalg.inv(T_rel_est)
+        dt = float(np.linalg.norm(delta[:3, 3]))
+        dr = float(np.arccos(np.clip(
+            (np.trace(delta[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)))
+        if dt < cfg.loop.min_correction_t and dr < cfg.loop.min_correction_r:
+            if self.verbose:
+                print(f"  [lc] consistent revisit kf_id={kf_id} "
+                      f"cand={cand_i} (dt={dt * 100:.1f}cm dr={dr:.3f}rad) "
+                      "— no correction needed", flush=True)
+            self.consistent_revisits.append((slot, cand_i))
+            self.last_loop_kf_id = kf_id
+            self.consistent_groups = []
+            return m
+
         pg = build_pose_graph(m, slot_j, jnp.int32(cand_i), T_qc, cfg,
                               loop_inliers=n_inl)
         if m.kf_valid.shape[0] > 256:
@@ -514,14 +536,23 @@ class LoopClosing:
         if cfg.loop.post_gba_iters > 0:
             # close the seam the pose graph leaves at the loop ends with a
             # bounded full-map BA (the reference's staged GBA-after-loop
-            # intent, globalbundleadjustment.cpp:154-190)
+            # intent, globalbundleadjustment.cpp:154-190), regularized by
+            # the pose-graph-corrected chain so the joint re-solve cannot
+            # shear it to fit landmark depth noise
             from aslam_tpu.ops import global_ba as gba
+            from aslam_tpu.ops.lba import map_chain
 
+            chain = None
+            if (cfg.ba.chain_prior_weight > 0
+                    and cfg.loop.post_gba_method == "gn_cg"):
+                chain = map_chain(m.kf_T_cw, m.kf_valid, m.kf_id,
+                                  cfg.ba.chain_prior_weight)
             m, _ = gba.global_ba(
                 m, cfg.camera, cfg.ba,
                 iters=cfg.loop.post_gba_iters,
                 robust_iters=max(cfg.loop.post_gba_iters // 2, 1),
                 method=cfg.loop.post_gba_method,
+                chain=chain,
             )
         self.last_loop_kf_id = kf_id
         self.consistent_groups = []

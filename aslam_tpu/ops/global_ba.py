@@ -124,13 +124,18 @@ def ba_sweep(m: MapState, cam: CameraModel, cfg: BAConfig,
 
 def global_ba(m: MapState, cam: CameraModel, cfg: BAConfig,
               iters: int = 20, robust_iters: int = 10,
-              method: str = "sweep", kf_chunk: int | None = None):
+              method: str = "sweep", kf_chunk: int | None = None,
+              chain=None):
     """Full-map refinement.  `method`:
       "sweep"  — alternating resection/intersection (cheapest per iter)
       "gn_cg"  — joint Gauss-Newton with matrix-free PCG (fewer, better
                  iterations; measured 2x lower pose error on weak-gauge
                  corridors at equal iteration count)
+    `chain` (ops/lba.ChainSpec, gn_cg only): odometry-chain regularizer
+    anchoring consecutive-KF relative poses (see gn_cg_step).
     """
+    if chain is not None and method != "gn_cg":
+        raise ValueError("chain regularizer requires method='gn_cg'")
     stats = None
     K = m.kf_lm.shape[0]
     chunk = kf_chunk or min(256, K)
@@ -138,7 +143,7 @@ def global_ba(m: MapState, cam: CameraModel, cfg: BAConfig,
         robust = i < robust_iters
         if method == "gn_cg":
             m, stats = gn_cg_step(m, cam, cfg, robust=robust,
-                                  kf_chunk=chunk)
+                                  kf_chunk=chunk, chain=chain)
         else:
             m, stats = ba_sweep(m, cam, cfg, robust=robust)
     return m, stats
@@ -151,7 +156,7 @@ def global_ba(m: MapState, cam: CameraModel, cfg: BAConfig,
 )
 def gn_cg_step(m: MapState, cam: CameraModel, cfg: BAConfig,
                robust: bool = True, cg_iters: int = 32, lam: float = 1e-3,
-               kf_chunk: int = 256):
+               kf_chunk: int = 256, chain=None):
     """One JOINT Gauss-Newton step over all poses and points, solved
     matrix-free with block-Jacobi-preconditioned CG.
 
@@ -202,6 +207,27 @@ def gn_cg_step(m: MapState, cam: CameraModel, cfg: BAConfig,
         (jnp.zeros((K, 6)), jnp.zeros((L, 3)),
          jnp.zeros((K, 6, 6)), jnp.zeros((L, 3, 3))),
     )
+
+    # odometry-chain regularizer (ops/lba.ChainSpec): relative-pose edges
+    # between consecutive KFs anchored at the incoming (e.g. pose-graph-
+    # corrected) chain — without it a whole-map reprojection-only re-solve
+    # shears the chain to fit correlated landmark depth noise (the same
+    # failure the windowed LBA chain fixes; measured 3.1 m session ATE
+    # from repeated unregularized post-loop GBA, r3 scale rehearsal).
+    if chain is not None:
+        from aslam_tpu.ops.pose_graph import _edge_jacobians, edge_residual
+
+        T_i = m.kf_T_cw[chain.c_i]
+        T_j = m.kf_T_cw[chain.c_j]
+        r_ch = jax.vmap(edge_residual)(T_i, T_j, chain.c_meas)   # [P,6]
+        Ji, Jj = jax.vmap(_edge_jacobians)(T_i, T_j, chain.c_meas)
+        wJi = chain.c_w[:, None, None] * Ji
+        wJj = chain.c_w[:, None, None] * Jj
+        bc = bc.at[chain.c_i].add(jnp.einsum("eri,er->ei", wJi, r_ch))
+        bc = bc.at[chain.c_j].add(jnp.einsum("eri,er->ei", wJj, r_ch))
+        Dc = Dc.at[chain.c_i].add(jnp.einsum("eri,erj->eij", wJi, Ji))
+        Dc = Dc.at[chain.c_j].add(jnp.einsum("eri,erj->eij", wJj, Jj))
+
     bc = jnp.where(cam_free[:, None], bc, 0.0)
     bl = jnp.where(pt_free[:, None], bl, 0.0)
     Dc_inv = chol_inv(Dc + (lam + 1e-8) * jnp.eye(6))
@@ -223,6 +249,11 @@ def gn_cg_step(m: MapState, cam: CameraModel, cfg: BAConfig,
 
         oc, ol = jax.lax.fori_loop(
             0, n_chunks, body, (jnp.zeros((K, 6)), jnp.zeros((L, 3))))
+        if chain is not None:
+            q = (jnp.einsum("eij,ej->ei", Ji, vc[chain.c_i])
+                 + jnp.einsum("eij,ej->ei", Jj, vc[chain.c_j]))
+            oc = oc.at[chain.c_i].add(jnp.einsum("eri,er->ei", wJi, q))
+            oc = oc.at[chain.c_j].add(jnp.einsum("eri,er->ei", wJj, q))
         oc = jnp.where(cam_free[:, None], oc + lam * vc, 0.0)
         ol = jnp.where(pt_free[:, None], ol + lam * vl, 0.0)
         return oc, ol

@@ -79,6 +79,24 @@ class ChainSpec(NamedTuple):
     c_w: jnp.ndarray     # [P] float32 information (0 = inactive)
 
 
+def map_chain(kf_T_cw: jnp.ndarray, kf_valid: jnp.ndarray,
+              kf_id: jnp.ndarray, weight: float | jnp.ndarray) -> ChainSpec:
+    """ChainSpec over temporally consecutive valid KFs of a WHOLE map,
+    anchored at the given poses (used by post-loop global BA: the anchor
+    is the pose-graph-corrected chain, which the joint refinement must
+    respect while it re-solves points and poses)."""
+    from aslam_tpu.utils.se3 import T_inv
+
+    ids = jnp.where(kf_valid, kf_id, 2**30)
+    order = jnp.argsort(ids).astype(jnp.int32)
+    c_i = order[:-1]
+    c_j = order[1:]
+    both = (ids[c_i] < 2**30) & (ids[c_j] < 2**30)
+    meas = kf_T_cw[c_i] @ T_inv(kf_T_cw[c_j])
+    w = jnp.where(both, weight, 0.0)
+    return ChainSpec(c_i=c_i, c_j=c_j, c_meas=meas, c_w=w)
+
+
 def chain_terms(cam_T: jnp.ndarray, chain: ChainSpec):
     """Per-edge residuals/Jacobians of the chain regularizer; returns
     (H_off [C,C,6,6] scatter-ready blocks, b [C,6], chi2 scalar)."""

@@ -75,6 +75,8 @@ def main(argv=None):
     ap.add_argument("--frames-per-seq", type=int, default=0,
                     help="default: kfs/seqs + margin")
     ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--no-post-gba", action="store_true",
+                    help="loop closing on, but pose-graph-only correction")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
 
@@ -99,6 +101,10 @@ def main(argv=None):
                     max_window_points=2048, max_edges=8192),
         use_loop_closing=not args.no_loop,
     )
+    if args.no_post_gba:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(loop=_dc.replace(cfg.loop, post_gba_iters=0))
     print("devices:", jax.devices(), flush=True)
     print(f"capacity: K={args.kfs} L={L}", flush=True)
 

@@ -119,6 +119,25 @@ def test_post_loop_gba_improves_on_pose_graph(rng):
     assert results[8] < results[0], results
 
 
+def test_consistent_revisit_skips_correction(rng):
+    """Discrepancy gate: on a loop map with NEGLIGIBLE drift the revisit
+    verifies geometrically but the measured transform matches the current
+    estimate — the system must record a consistent revisit and NOT run
+    the whole-map correction (repeated no-op corrections accumulated
+    meters of solver noise in the r3 scale rehearsal)."""
+    from aslam_tpu.models.loopclosing import LoopClosing
+
+    rng2 = np.random.default_rng(11)
+    cfg, m, T_true, T_est, drift, n_kfs = build_looped_map(
+        rng2, drift_per_step=1e-5)
+    assert drift < 0.005
+    lc = LoopClosing(cfg, train_after_kfs=4)
+    for k in range(n_kfs):
+        m = lc.process_keyframe(m, k, k)
+    assert len(lc.loops) == 0, f"no-op correction ran: {lc.loops}"
+    assert lc.consistent_revisits, "revisit was not even detected/verified"
+
+
 def _corridor_map_and_frame(cfg, rng):
     """A 6-KF corridor along +x.  Each KF owns 40 exclusive landmarks;
     adjacent KFs additionally share 20 (covisibility >= 15).  The test

@@ -229,6 +229,12 @@ def build_pose_graph(
 
     e_i = jnp.repeat(jnp.arange(K, dtype=jnp.int32), edges_per_node)
     e_j = top_j.reshape(-1).astype(jnp.int32)
+    # uniform information for covisibility edges (measured choice: a
+    # covis-count-proportional weighting was tried in r3 and made the
+    # chain MORE sensitive to a biased loop edge in the
+    # test_biased_loop_weight_vs_hardcoded scenario, with no win
+    # elsewhere — the loop edge's inlier weighting below is where edge
+    # information demonstrably matters)
     e_w = jnp.where(
         top_w.reshape(-1) >= cfg.map.covis_min_weight, 1.0, 0.0
     )

@@ -55,6 +55,16 @@ def build_config(args) -> SystemConfig:
             )
         cfg = cfg.replace(extractor=dc_replace(
             cfg.extractor, detector=args.detector, descriptor=args.descriptor))
+    if getattr(args, "pose_prior", None) is not None:
+        from dataclasses import replace as dc_replace
+
+        cfg = cfg.replace(tracking=dc_replace(
+            cfg.tracking, pose_prior_weight=args.pose_prior))
+    if getattr(args, "chain_prior", None) is not None:
+        from dataclasses import replace as dc_replace
+
+        cfg = cfg.replace(ba=dc_replace(
+            cfg.ba, chain_prior_weight=args.chain_prior))
     return cfg
 
 
@@ -81,6 +91,14 @@ def main(argv=None):
                          "chunks are lax.scan-chained on device (slam_scan),"
                          " equivalent to streaming but amortizing "
                          "dispatch latency chunk-fold")
+    ap.add_argument("--pose-prior", type=float, default=None,
+                    help="odometry motion-prior information in the "
+                         "local-map pose refinement (1/m^2; default from "
+                         "config; 0 = reference-style unconstrained "
+                         "re-solve — see docs/FUSION_STUDY.md)")
+    ap.add_argument("--chain-prior", type=float, default=None,
+                    help="odometry-chain regularizer information in "
+                         "local/global BA (1/m^2; 0 disables)")
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--checkpoint", default="",
                     help="save map checkpoint here at the end")

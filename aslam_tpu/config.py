@@ -234,6 +234,14 @@ class BAConfig:
     # to the live one without it).  1/m^2 for the translation block; 0
     # restores the reference's reprojection-only window.
     chain_prior_weight: float = 2.5e5
+    # chain edges only bind window cams that are temporally CLOSE
+    # (kf_id gap <= chain_max_gap; gaps of a few ids arise from keyframe
+    # culling between surviving temporal neighbors).  Covisibility
+    # neighbors from a revisit are temporally far apart — a full-weight
+    # chain edge there would pin old-map vs new-map segments together at
+    # the drifted relative estimate, exactly where reprojection evidence
+    # should pull the revisit into alignment.
+    chain_max_gap: int = 4
     # local-BA padded capacities (static shapes).  max_window_points is the
     # COMPACT landmark index space of the window problem — the Schur
     # coupling tensor is [C, max_window_points, 6, 3], independent of the

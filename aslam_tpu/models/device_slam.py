@@ -82,9 +82,9 @@ def slam_step(
     height: int,
     width: int,
 ):
-    """One frame, fully on device.  Returns (state', T_cw, stats[8]):
+    """One frame, fully on device.  Returns (state', T_cw, stats[9]):
     stats = [n_tracked, n_matches, ransac_inliers, kf_dist, kf_rot,
-    rmse, inserted_kf, n_kfs]."""
+    rmse, inserted_kf, n_kfs, proj_overflow]."""
     frame, new_grid = frame_mod._make_frame_impl(
         img, depth, state.grid_thresholds, cfg, height, width)
 
@@ -97,7 +97,14 @@ def slam_step(
         odo = rba_step(state.last_frame, frame, key, cfg)
     frame = frame_mod.with_pose(frame, odo.T_cw2)
     assoc = carry_associations(state.last_assoc, odo.match_idx, odo.inliers)
-    lm_res = track_local_map(state.m, frame, assoc, cfg)
+    # odometry/map fusion gate (mirrors tracking.track_step): the stiff
+    # motion prior only anchors the local-map pose solve when odometry
+    # itself was healthy — a failed RANSAC must not pin the frame to a
+    # bad/stale pose that map evidence could otherwise correct.
+    odo_ok = odo.n_inliers >= cfg.ransac.min_inliers
+    w_prior = jnp.where(odo_ok, cfg.tracking.pose_prior_weight, 0.0)
+    lm_res = track_local_map(state.m, frame, assoc, cfg,
+                             prior_weight=w_prior)
     frame = frame_mod.with_pose(frame, lm_res.T_cw)
     assoc = lm_res.assoc
     m = state.m._replace(
@@ -146,6 +153,7 @@ def slam_step(
         dt, dr, odo.rmse,
         need_kf.astype(jnp.float32),
         n_kfs.astype(jnp.float32),
+        lm_res.n_overflow.astype(jnp.float32),
     ])
     return new_state, frame.T_cw, stats
 
@@ -275,5 +283,5 @@ class DeviceSlam:
         self._background_mapping()
         traj = np.asarray(jnp.stack(self.pose_buf))
         stats = (np.stack([np.asarray(s) for s in self.stats_buf])
-                 if self.stats_buf else np.zeros((0, 8)))
+                 if self.stats_buf else np.zeros((0, 9)))
         return traj, stats

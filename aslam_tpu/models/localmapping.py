@@ -188,9 +188,16 @@ def build_chain(m: ms.MapState, spec: WindowSpec,
     c_i = order[:-1]
     c_j = order[1:]
     both = (ids[c_i] < 2**30) & (ids[c_j] < 2**30)
+    # temporal-adjacency gate: consecutive-in-sorted-order is not enough —
+    # a revisit pulls covisibility neighbors with kf_ids hundreds apart
+    # into the window, and anchoring THOSE pairs at the current (drifted)
+    # relative transform would fight the reprojection evidence that should
+    # align old and new map segments.  Only near-adjacent ids (gap <=
+    # chain_max_gap, allowing for culled intermediates) carry the prior.
+    adjacent = (ids[c_j] - ids[c_i]) <= cfg.ba.chain_max_gap
     T = m.kf_T_cw[spec.cam_slots]
     meas = T[c_i] @ T_inv(T[c_j])
-    w = jnp.where(both, cfg.ba.chain_prior_weight, 0.0)
+    w = jnp.where(both & adjacent, cfg.ba.chain_prior_weight, 0.0)
     return lba.ChainSpec(c_i=c_i, c_j=c_j, c_meas=meas, c_w=w)
 
 

@@ -135,14 +135,17 @@ def query_candidates(
     b_vals, b_idx = jax.lax.top_k(jnp.where(ok, scores, -1.0), n_acc)
     rows = ms.covis_rows(m, b_idx)                  # [n_acc, K]
     acc_sel = b_vals + jnp.sum((rows > 0) * base[None, :], axis=1)
+    # found = slot held an `ok` candidate (ok scores are >= min_score >= 0;
+    # padding is -1).  `>= 0`, not `> 0`: a score of exactly 0 is a legal
+    # candidate when min_score == 0.
     acc = jnp.full((K,), -1.0).at[b_idx].max(
-        jnp.where(b_vals > 0, acc_sel, -1.0))
+        jnp.where(b_vals >= 0, acc_sel, -1.0))
     best_acc = jnp.max(acc)
     good = ok & (acc >= cfg.loop.score_fraction * best_acc)
 
     n = cfg.loop.top_candidates
     top_scores, top_idx = jax.lax.top_k(jnp.where(good, scores, -1.0), n)
-    found = top_scores > 0
+    found = top_scores >= 0
     cand_slots = jnp.where(found, top_idx, -1).astype(jnp.int32)
     # covisibility group of each candidate: itself + covisible KFs (the
     # ConsistentGroup's spKeyFrames set, loopclosing.h:16-22)

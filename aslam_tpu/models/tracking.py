@@ -60,6 +60,8 @@ class LocalMapResult(NamedTuple):
     visible_mask: jnp.ndarray  # [L] frustum-visible landmarks
     found_mask: jnp.ndarray    # [L] tracked-inlier landmarks
     local_kf_mask: jnp.ndarray # [K]
+    n_overflow: jnp.ndarray    # scalar int32: frustum-visible candidates
+                               # dropped by the proj_match_cap compaction
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -122,7 +124,7 @@ def track_local_map(
     vis, pred_uv, _, _ = camera.in_frustum(cam, frame.T_cw, m.lm_pos)
     cand = search_lm & vis
     cap = min(cfg.map.proj_match_cap, L)
-    cidx, cvalid, _ = matching.compact_candidates(cand, cap)
+    cidx, cvalid, n_overflow = matching.compact_candidates(cand, cap)
     pm = matching.projection_match(
         m.lm_desc[cidx], cvalid, pred_uv[cidx],
         frame.xy_und, frame.feat.desc, frame.feat.valid,
@@ -170,6 +172,7 @@ def track_local_map(
         visible_mask=cand | found,
         found_mask=found,
         local_kf_mask=local_kf,
+        n_overflow=n_overflow,
     )
 
 
@@ -245,8 +248,9 @@ def track_step(
     trigger summary.  One dispatch, one host pull of a 6-scalar vector —
     the relay round-trip cost of four separate calls collapses to one.
 
-    Returns (map', pose T_cw, assoc, stats[6] =
-    [n_tracked, n_matches, ransac_inliers, kf_dist, kf_rot, rmse]).
+    Returns (map', pose T_cw, assoc, stats[7] =
+    [n_tracked, n_matches, ransac_inliers, kf_dist, kf_rot, rmse,
+    proj_overflow]).
 
     With cfg.use_gicp the odometry stage is the fused ADAPTIVE_RICP policy
     (RANSAC -> lax.cond GICP escalation, models/odometry.py:ricp_fused) —
@@ -272,6 +276,7 @@ def track_step(
         odo.n_matches.astype(jnp.float32),
         odo.n_inliers.astype(jnp.float32),
         dt, dr, odo.rmse,
+        lm_res.n_overflow.astype(jnp.float32),
     ])
     return m, lm_res.T_cw, lm_res.assoc, stats
 
@@ -357,6 +362,7 @@ class Tracking:
                 n_tracked=n_tracked,
                 n_matches=int(stats[1]),
                 ransac_inliers=int(stats[2]),
+                proj_overflow=int(stats[6]),
             )
 
             # State machine (the reference declares LOST but never sets or

@@ -116,3 +116,28 @@ def test_fuse_binds_free_features():
     row = np.asarray(m2.kf_lm[2])
     bound = row[row >= 0]
     assert len(np.unique(bound)) == len(bound)
+
+
+def test_chain_gate_drops_revisit_pairs():
+    """Advisor r3 (medium): chain-prior edges must only bind temporally
+    near-adjacent keyframes.  A revisit pulls covisibility neighbors with
+    far-apart kf_ids into the window; anchoring those pairs at the current
+    (drifted) relative transform would pin old-map vs new-map segments
+    together exactly where reprojection evidence should align them."""
+    cfg = small_config()
+    m, f = build_map_with_kfs(cfg, n_kfs=3)
+    # simulate a revisit: bump KF 2's id far from KFs 0/1
+    m = m._replace(kf_id=m.kf_id.at[2].set(200))
+    spec = lmm.build_window(m, jnp.int32(2), cfg)
+    chain = lmm.build_chain(m, spec, cfg)
+    ids = np.where(np.asarray(spec.cam_valid),
+                   np.asarray(m.kf_id[spec.cam_slots]), 2**30)
+    w = np.asarray(chain.c_w)
+    ci, cj = np.asarray(chain.c_i), np.asarray(chain.c_j)
+    gap = ids[cj] - ids[ci]
+    # far-apart pairs carry zero weight; near-adjacent pairs carry full
+    assert (w[gap > cfg.ba.chain_max_gap] == 0).all()
+    near = (gap >= 1) & (gap <= cfg.ba.chain_max_gap) & \
+        (ids[ci] < 2**30) & (ids[cj] < 2**30)
+    if near.any():
+        assert (w[near] == cfg.ba.chain_prior_weight).all()

@@ -302,6 +302,79 @@ def write_back(m: ms.MapState, spec: WindowSpec, prob: lba.BAProblem,
     return m._replace(kf_T_cw=kf_T, lm_pos=lm_pos, kf_lm=kf_lm)
 
 
+# ------------------------------------------------- fused device program
+
+def empty_cull_info() -> ms.CullInfo:
+    """CullInfo [3] placeholder (no culls) — the untaken-branch value."""
+    return ms.CullInfo(
+        culled=jnp.zeros((3,), bool),
+        kf_id=jnp.full((3,), -1, jnp.int32),
+        parent_kf_id=jnp.full((3,), -1, jnp.int32),
+        T_cp=jnp.tile(jnp.eye(4)[None], (3, 1, 1)),
+    )
+
+
+def map_keyframe_body(m: ms.MapState, slot: jnp.ndarray,
+                      kf_id: jnp.ndarray, cfg: SystemConfig):
+    """The WHOLE per-keyframe refinement sequence as pure traced code:
+    descriptor refresh -> landmark culling -> fuse -> position refresh ->
+    windowed LBA (under lax.cond, >2 live KFs) -> keyframe culling (<=3
+    victims/insertion).  Zero host scalar reads — the device-resident
+    counterpart of LocalMapping.process_keyframe (reference background
+    thread, localmapping.cpp:28-52).  models/device_slam.py inlines this
+    into the keyframe-insertion branch of the per-frame scan, so mapping
+    runs at device rate with no dispatch or readback per keyframe.
+
+    Returns (map', CullInfo with leading axis 3 — the per-round culled-KF
+    parent-chain records, `culled` False on no-op rounds)."""
+    L = m.lm_pos.shape[0]
+    touched = jnp.zeros((L + 1,), bool).at[
+        jnp.where(m.kf_lm[slot] >= 0, m.kf_lm[slot], L)
+    ].set(True)[:L]
+    m = ms.refresh_landmark_descriptors(m, touched)
+    m = ms.landmark_culling(m, kf_id, cfg)
+    m = fuse_landmarks(m, slot, cfg)
+    if cfg.map.refresh_positions:
+        m = ms.refresh_landmark_positions(m, cfg)
+    if cfg.map.enable_local_ba:
+        def do_lba(m):
+            spec = build_window(m, slot, cfg)
+            prob, lw_ids, _ = build_problem(m, spec, cfg)
+            chain = (build_chain(m, spec, cfg)
+                     if cfg.ba.chain_prior_weight > 0 else None)
+            prob, _ = lba.local_ba(prob, cfg.camera, cfg.ba, chain=chain)
+            return write_back(m, spec, prob, lw_ids, cfg)
+
+        m = jax.lax.cond(
+            jnp.sum(m.kf_valid.astype(jnp.int32)) > 2,
+            do_lba, lambda mm: mm, m)
+    infos = []
+    for _ in range(3):
+        # each call culls at most one victim and no-ops when none
+        # remain — 3 unconditional rounds == the host loop's <=3
+        m, cull = ms.keyframe_culling(m, slot, cfg)
+        infos.append(cull)
+    return m, jax.tree.map(lambda *xs: jnp.stack(xs), *infos)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("m",))
+def map_keyframe_fused(m: ms.MapState, slot: jnp.ndarray,
+                       kf_id: jnp.ndarray, cfg: SystemConfig):
+    """Standalone-dispatch wrapper of `map_keyframe_body` with an
+    alive-guard: the body no-ops (and returns empty cull records) when
+    `slot` no longer holds `kf_id` — a fresh keyframe can be culled by an
+    earlier mapping dispatch in the same sync window."""
+
+    def body(m):
+        return map_keyframe_body(m, slot, kf_id, cfg)
+
+    def skip(m):
+        return m, empty_cull_info()
+
+    alive = m.kf_valid[slot] & (m.kf_id[slot] == kf_id)
+    return jax.lax.cond(alive, body, skip, m)
+
+
 # ------------------------------------------------------------ orchestration
 
 class LocalMapping:

@@ -425,30 +425,57 @@ class LoopClosing:
         )
         return True
 
-    def _maybe_train_vocab(self, m: ms.MapState):
+    def _maybe_train_vocab(self, m: ms.MapState, n_live: int | None = None):
         if self.vocab is not None:
             return
-        if int(np.asarray(m.kf_valid).sum()) < self.train_after:
+        if n_live is None:
+            n_live = int(np.asarray(m.kf_valid).sum())
+        if n_live < self.train_after:
             return
         self._train(m)
 
-    def maybe_refresh(self, m: ms.MapState) -> bool:
+    def maybe_refresh(self, m: ms.MapState,
+                      n_live: int | None = None) -> bool:
         """Incremental vocabulary refresh: retrain + database rebuild when
         the map has outgrown the training set (ROADMAP item: long
-        multi-sequence sessions).  Returns True if a refresh happened."""
+        multi-sequence sessions).  Returns True if a refresh happened.
+        Pass `n_live` (the live KF count, already known to device-resident
+        callers) to avoid a device read."""
         if self.vocab is None or self.refresh_factor <= 1.0:
             return False
-        n_now = int(np.asarray(m.kf_valid).sum())
-        if n_now < self.refresh_factor * max(self.trained_on_kfs, 1):
+        if n_live is None:
+            n_live = int(np.asarray(m.kf_valid).sum())
+        if n_live < self.refresh_factor * max(self.trained_on_kfs, 1):
             return False
         return self._train(m)
 
     def process_keyframe(self, m: ms.MapState, slot: int, kf_id: int) -> ms.MapState:
-        cfg = self.cfg
-        self._maybe_train_vocab(m)
-        if self.vocab is None:
+        """Per-keyframe loop pipeline: DB maintenance + detection (device)
+        then consistency/verify/correct (host) — detect and resolve are
+        split so the device-resident path (models/device_slam.py) can
+        batch many detections into one host read."""
+        q = self._detect(m, slot, kf_id)
+        if q is None:
             return m
-        refreshed = self.maybe_refresh(m)
+        cands, scores, groups = q
+        return self._resolve(m, slot, kf_id, np.asarray(cands),
+                             np.asarray(scores), np.asarray(groups))
+
+    def _detect(self, m: ms.MapState, slot: int, kf_id: int,
+                maintain: bool = True, refreshed: bool = False):
+        """DB add + candidate query for one keyframe.  Returns unread
+        device arrays (cands, scores, groups) or None when detection is
+        gated off.  No host scalar reads (the vocabulary train/refresh
+        checks read one scalar until trained; batch callers hoist them
+        via maintain=False)."""
+        cfg = self.cfg
+        if maintain:
+            self._maybe_train_vocab(m)
+            if self.vocab is None:
+                return None
+            refreshed = self.maybe_refresh(m)
+        if self.vocab is None:
+            return None
         slot_j = jnp.int32(slot)
         if not refreshed:
             # on refresh the rebuild already re-added every valid KF,
@@ -459,12 +486,54 @@ class LoopClosing:
             )
         if kf_id - self.last_loop_kf_id < cfg.loop.min_kf_gap:
             self.consistent_groups = []
-            return m
+            return None
         gap_ok = (jnp.int32(kf_id) - m.kf_id) >= cfg.loop.min_kf_gap
-        cands, scores, groups = query_candidates(self.db, m, slot_j,
-                                                 gap_ok, cfg)
-        cands = np.asarray(cands)
-        groups = np.asarray(groups)
+        return query_candidates(self.db, m, slot_j, gap_ok, cfg)
+
+    def process_keyframes_batch(self, m: ms.MapState, slots, kf_ids_fresh,
+                                n_live: int | None = None):
+        """Device-resident sync cadence: run detection for a WINDOW of
+        fresh keyframes with ONE stacked host read, then resolve (the
+        rare consistency/verify/correct part) sequentially.  Fresh KFs
+        inside the window never become each other's candidates — the
+        min_kf_gap eligibility gate excludes them, so add-all-then-query
+        matches the interleaved per-KF semantics.  `n_live` (from the
+        caller's ring read) avoids per-KF device reads in the vocabulary
+        lifecycle checks."""
+        self._maybe_train_vocab(m, n_live=n_live)
+        if self.vocab is None:
+            return m
+        refreshed = self.maybe_refresh(m, n_live=n_live)
+        queries = []
+        for s, kid in zip(slots, kf_ids_fresh):
+            queries.append((s, kid, self._detect(
+                m, int(s), int(kid), maintain=False, refreshed=refreshed)))
+        live = [(s, k, q) for s, k, q in queries if q is not None]
+        if not live:
+            return m
+        # one host sync for the whole window
+        stacked = np.asarray(jnp.concatenate(
+            [jnp.concatenate([q[0].astype(jnp.float32), q[1],
+                              q[2].reshape(-1).astype(jnp.float32)])
+             for _, _, q in live]))
+        n_c = live[0][2][0].shape[0]
+        K = m.kf_valid.shape[0]
+        per = n_c + n_c + n_c * K
+        for i, (s, kid, _) in enumerate(live):
+            rec = stacked[i * per:(i + 1) * per]
+            cands = rec[:n_c].astype(np.int32)
+            scores = rec[n_c:2 * n_c]
+            groups = rec[2 * n_c:].reshape(n_c, K).astype(bool)
+            m = self._resolve(m, int(s), int(kid), cands, scores, groups)
+        return m
+
+    def _resolve(self, m: ms.MapState, slot: int, kf_id: int,
+                 cands: np.ndarray, scores: np.ndarray,
+                 groups: np.ndarray) -> ms.MapState:
+        """Host part: temporal-consistency gate, geometric verification,
+        discrepancy gate, pose-graph correction, post-loop GBA."""
+        cfg = self.cfg
+        slot_j = jnp.int32(slot)
         kf_ids = np.asarray(m.kf_id)
         if self.verbose:
             print(f"  [lc] kf_id={kf_id} slot={slot} cands={cands.tolist()} "

@@ -289,3 +289,82 @@ def test_static_mode_threshold_fallback():
     assert len(xy) > 0
     near_weak = np.abs(xy - np.array([126, 96])).max(1) < 12
     assert near_weak.any(), "weak-cell corners not recovered by fallback"
+
+
+def test_depth_plane_fit_unbiased_on_oblique_surface():
+    """VERDICT r3 weak #7: the depth_patch refinement must not bias
+    keypoint depth on oblique surfaces.  A gated MEAN is only unbiased
+    when the window is symmetric (broken by the subpixel keypoint offset,
+    the gate, and the image border); the plane fit evaluates at the
+    subpixel position and stays unbiased by construction."""
+    import jax.numpy as jnp
+
+    from aslam_tpu.config import small_config
+    from aslam_tpu.models import frame as frame_mod
+    from aslam_tpu.models.extractor import init_adaptive_state
+    from aslam_tpu.utils import synthetic
+
+    cfg = small_config()
+    assert cfg.extractor.depth_patch >= 3
+    cam = cfg.camera
+    # textured image for keypoints; depth REPLACED by an analytic oblique
+    # plane z(u,v) = z0 + a*u + b*v (steep: 2 cm/px)
+    imgs, _, _, _ = synthetic.make_sequence(
+        n_frames=1, n_points=300, cam=cam, seed=3)
+    a_u, b_v, z00 = 0.02, 0.008, 1.0
+    uu, vv = np.meshgrid(np.arange(cam.width, dtype=np.float32),
+                         np.arange(cam.height, dtype=np.float32))
+    depth = (z00 + a_u * uu + b_v * vv).astype(np.float32)
+
+    state = init_adaptive_state(cfg.extractor)
+    f, _ = frame_mod.make_frame(
+        jnp.asarray(imgs[0]), jnp.asarray(depth), cfg, state)
+
+    ok = np.asarray(f.has_depth)
+    xy = np.asarray(f.feat.xy)[ok]
+    z_est = np.asarray(f.depth)[ok]
+    z_true = z00 + a_u * xy[:, 0] + b_v * xy[:, 1]
+    err = np.abs(z_est - z_true)
+    # plane fit: sub-mm; the old gated mean errs by up to
+    # a_u/2 = 10 mm at subpixel offsets
+    assert err.max() < 2e-3, f"max depth error {err.max()*1e3:.2f} mm"
+    assert abs(np.mean(z_est - z_true)) < 5e-4
+
+
+def test_depth_plane_fit_respects_discontinuity():
+    """The gate must keep the fit one-sided at a depth step (no averaging
+    across the gap), and the one-sided fit must still be unbiased."""
+    import jax.numpy as jnp
+
+    from aslam_tpu.config import small_config
+    from aslam_tpu.models import frame as frame_mod
+    from aslam_tpu.models.extractor import init_adaptive_state
+    from aslam_tpu.utils import synthetic
+
+    cfg = small_config()
+    cam = cfg.camera
+    imgs, _, _, _ = synthetic.make_sequence(
+        n_frames=1, n_points=300, cam=cam, seed=3)
+    a_u, z00, step_u, step_dz = 0.02, 1.0, 160, 2.0
+    uu = np.arange(cam.width, dtype=np.float32)[None, :]
+    ramp = z00 + a_u * uu
+    depth = np.broadcast_to(
+        np.where(uu >= step_u, ramp + step_dz, ramp),
+        (cam.height, cam.width)).astype(np.float32).copy()
+
+    state = init_adaptive_state(cfg.extractor)
+    f, _ = frame_mod.make_frame(
+        jnp.asarray(imgs[0]), jnp.asarray(depth), cfg, state)
+
+    ok = np.asarray(f.has_depth)
+    xy = np.asarray(f.feat.xy)[ok]
+    z_est = np.asarray(f.depth)[ok]
+    # expected value follows the side of the ROUNDED center pixel (that is
+    # the sample the gate anchors to)
+    u_int = np.clip(np.round(xy[:, 0]), 0, cam.width - 1)
+    far = u_int >= step_u
+    z_true = z00 + a_u * xy[:, 0] + np.where(far, step_dz, 0.0)
+    err = np.abs(z_est - z_true)
+    # near the step the window is one-sided: a mean there biases by
+    # ~a_u*r/2; the plane fit stays within a few mm
+    assert err.max() < 5e-3, f"max depth error {err.max()*1e3:.2f} mm"

@@ -371,6 +371,18 @@ class LoopConfig:
     # a 6-level DBoW3 tree, frame.cpp:187; 0 = exact leaf equality, which
     # is over-strict — a one-bit descriptor change can flip the leaf)
     match_node_levels: int = 1
+    # localized correction window (r4, VERDICT #2): anchor the loop
+    # CANDIDATE's old-side covisibility group (members no newer than the
+    # candidate) in the pose graph, so the trusted old-map segment stays
+    # put and the correction distributes over the drifted recent segment
+    # only — instead of smearing it over the whole session (where it
+    # roughly cancelled the drift removal, docs/SCALE_SLAM.md r3).
+    localized_window: bool = True
+    # covisibility-proportional information on pose-graph edges
+    # (w = clip(covis / covis_min_weight, 0, 4) instead of uniform 1.0).
+    # OFF by default: r3 measured it making the chain MORE sensitive to a
+    # biased loop edge with no win elsewhere; kept as an ablation knob.
+    covis_weighted_edges: bool = False
 
 
 @dataclass(frozen=True)

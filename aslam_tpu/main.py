@@ -207,6 +207,8 @@ def main(argv=None):
         slam.save_trajectory(os.path.join(args.out_dir, "CameraTrajectory.txt"))
         slam.save_keyframe_trajectory(
             os.path.join(args.out_dir, "KeyFrameTrajectory.txt"))
+        slam.save_observation_histogram(
+            os.path.join(args.out_dir, "Histogram.csv"))
         if args.checkpoint:
             ckpt.save_system(args.checkpoint, slam)
         if args.render_map:

@@ -232,15 +232,24 @@ def build_pose_graph(
 
     e_i = jnp.repeat(jnp.arange(K, dtype=jnp.int32), edges_per_node)
     e_j = top_j.reshape(-1).astype(jnp.int32)
-    # uniform information for covisibility edges (measured choice: a
-    # covis-count-proportional weighting was tried in r3 and made the
-    # chain MORE sensitive to a biased loop edge in the
-    # test_biased_loop_weight_vs_hardcoded scenario, with no win
-    # elsewhere — the loop edge's inlier weighting below is where edge
-    # information demonstrably matters)
-    e_w = jnp.where(
-        top_w.reshape(-1) >= cfg.map.covis_min_weight, 1.0, 0.0
-    )
+    if cfg.loop.covis_weighted_edges:
+        # covisibility-proportional information (ablation knob; see
+        # LoopConfig.covis_weighted_edges for the r3 caveat)
+        e_w = jnp.where(
+            top_w.reshape(-1) >= cfg.map.covis_min_weight,
+            jnp.clip(top_w.reshape(-1) / cfg.map.covis_min_weight, 0.0, 4.0),
+            0.0,
+        )
+    else:
+        # uniform information for covisibility edges (measured choice: a
+        # covis-count-proportional weighting was tried in r3 and made the
+        # chain MORE sensitive to a biased loop edge in the
+        # test_biased_loop_weight_vs_hardcoded scenario, with no win
+        # elsewhere — the loop edge's inlier weighting below is where
+        # edge information demonstrably matters)
+        e_w = jnp.where(
+            top_w.reshape(-1) >= cfg.map.covis_min_weight, 1.0, 0.0
+        )
 
     # temporal chain: consecutive insertion ids
     order = jnp.argsort(jnp.where(m.kf_valid, m.kf_id, 2**30))
@@ -271,6 +280,18 @@ def build_pose_graph(
 
     oldest = jnp.argmax(jnp.where(m.kf_valid, -m.kf_id, -(2**30)))
     fixed = jnp.zeros((K,), bool).at[oldest].set(True)
+    if cfg.loop.localized_window:
+        # anchor the candidate's OLD-side covisibility group (and the
+        # candidate itself): the revisited map segment is the trusted
+        # datum, so the correction pulls the drifted recent chain onto it
+        # instead of redistributing over the whole session.  Members
+        # NEWER than the candidate (the drifted KFs currently covisible
+        # through the revisit) must stay free — kf_id gates them out.
+        old_side = (w[c] >= cfg.map.covis_min_weight) \
+            & (m.kf_id <= m.kf_id[c]) & m.kf_valid
+        fixed = fixed | old_side
+        fixed = fixed.at[c].set(True)
+        fixed = fixed.at[q].set(False)
     return pose_graph.PoseGraph(
         T=m.kf_T_cw, node_valid=m.kf_valid, node_fixed=fixed,
         e_i=e_i, e_j=e_j, e_meas=meas, e_w=e_w,

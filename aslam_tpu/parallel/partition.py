@@ -117,6 +117,36 @@ def permute_kf_rows(m: MapState, perm: np.ndarray) -> MapState:
     return m._replace(**{f: getattr(m, f)[idx] for f in _KF_FIELDS})
 
 
+def partitioned_gn_cg_step(m: MapState, cam, cfg, mesh,
+                           W: np.ndarray | None = None, **kwargs):
+    """sharded_gn_cg_step with covisibility-aware placement (VERDICT r3
+    next #7): permute KF rows so each device's contiguous shard is a
+    covisibility cluster, run the distributed joint GN-CG step, restore
+    the original row order.  Identical results to the unpermuted solve
+    up to float reassociation (kf_id rides the permutation, so the gauge
+    anchor is the same keyframe).  Pass a precomputed `W` (e.g. from a
+    prior epoch) to skip the covisibility matmul."""
+    from aslam_tpu.parallel.sharded_global_ba import pad_map_for_mesh
+    from aslam_tpu.parallel.sharded_gn_cg import sharded_gn_cg_step
+
+    padded = pad_map_for_mesh(m, mesh)
+    n_dev = mesh.devices.size
+    if W is None:
+        W = covisibility_weights(padded)
+    perm = partition_keyframes(W, np.asarray(padded.kf_valid), n_dev)
+    out, stats = sharded_gn_cg_step(
+        permute_kf_rows(padded, perm), cam, cfg, mesh, **kwargs
+    )
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm), dtype=np.int32)
+    restored = permute_kf_rows(out, inv)
+    K0 = m.kf_T_cw.shape[0]
+    L0 = m.lm_pos.shape[0]
+    return m._replace(
+        kf_T_cw=restored.kf_T_cw[:K0], lm_pos=restored.lm_pos[:L0]
+    ), stats
+
+
 def partitioned_global_ba(m: MapState, cam, cfg, mesh, **kwargs):
     """sharded_global_ba with covisibility-aware placement.
 

@@ -98,3 +98,35 @@ def test_permute_kf_rows_roundtrip(rng):
     for f in pt._KF_FIELDS:
         np.testing.assert_array_equal(
             np.asarray(getattr(m, f)), np.asarray(getattr(m2, f)), err_msg=f)
+
+
+def test_partitioned_gn_cg_matches_unpartitioned(rng):
+    """VERDICT r4 #7: the GGGP permutation wired into the joint GN-CG
+    solver must not change the result (the psum couples all shards; a
+    row permutation only moves coupling mass intra-shard)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from aslam_tpu.parallel import mesh as mesh_mod
+    from aslam_tpu.parallel import sharded_global_ba as sgba
+    from aslam_tpu.parallel.sharded_gn_cg import sharded_gn_cg_step
+    from tests.test_global_ba import build_noisy_map
+
+    cfg, m, T_true, pts_true, n_kfs, n_pts = build_noisy_map(
+        rng, n_kfs=8, n_pts=128)
+    mesh = mesh_mod.make_mesh(8, dp=4, lm=2)
+
+    padded = sgba.pad_map_for_mesh(m, mesh)
+    ref, ref_stats = sharded_gn_cg_step(padded, cfg.camera, cfg.ba, mesh,
+                                        cg_iters=8)
+    out, stats = pt.partitioned_gn_cg_step(m, cfg.camera, cfg.ba, mesh,
+                                           cg_iters=8)
+    np.testing.assert_allclose(
+        np.asarray(out.kf_T_cw)[:n_kfs], np.asarray(ref.kf_T_cw)[:n_kfs],
+        atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.lm_pos)[:n_pts], np.asarray(ref.lm_pos)[:n_pts],
+        atol=2e-3,
+    )
+    np.testing.assert_allclose(float(stats.chi2), float(ref_stats.chi2),
+                               rtol=0.05)

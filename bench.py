@@ -282,12 +282,20 @@ def orchestrate():
     best = None          # best overall (fallback)
     best_v = None        # best verified
     for i in range(attempts):
-        log(f"--- bench attempt {i + 1}/{attempts} (fresh process) ---")
+        child_env = dict(env)
+        if "ASLAM_BENCH_FRAMES" not in os.environ:
+            # alternate chunk lengths: 128-frame dispatches amortize the
+            # relay's per-dispatch latency 2x further than 64 when the
+            # link is healthy; keep a 64-frame attempt in the mix in case
+            # the longer upload window catches more weather
+            child_env["ASLAM_BENCH_FRAMES"] = ("64", "128")[i % 2]
+        log(f"--- bench attempt {i + 1}/{attempts} (fresh process, "
+            f"{child_env.get('ASLAM_BENCH_FRAMES', '64')} frames/chunk) ---")
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--single"],
                 capture_output=True, text=True, timeout=child_timeout,
-                env=env,
+                env=child_env,
             )
         except subprocess.TimeoutExpired as e:
             log(f"attempt {i + 1} timed out after {child_timeout:.0f}s")

@@ -242,3 +242,42 @@ def test_web_viewer_serves_state():
         assert st2["landmarks"] == st["landmarks"]  # retained
     finally:
         v.stop()
+
+
+def test_webviewer_serves_kf_fwd():
+    """The 3-D orbit page needs per-KF viewing directions: kf_fwd must be
+    the world-frame camera forward (row 2 of R == R^T @ e_z)."""
+    import json
+    import urllib.request
+
+    import jax.numpy as jnp
+
+    from aslam_tpu.config import small_config
+    from aslam_tpu.models import mapstate as ms
+    from aslam_tpu.utils.webviewer import WebViewer
+
+    cfg = small_config()
+    m = ms.init_map(cfg)
+    th = 0.5
+    R = np.array([[np.cos(th), 0, np.sin(th)],
+                  [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]], np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    m = m._replace(
+        kf_T_cw=m.kf_T_cw.at[0].set(jnp.asarray(T)),
+        kf_valid=m.kf_valid.at[0].set(True),
+    )
+    v = WebViewer(port=0)
+    try:
+        v.update(m)
+        st = json.loads(urllib.request.urlopen(
+            v.url + "state", timeout=10).read())
+        fwd = np.asarray(st["kf_fwd"][0])
+        np.testing.assert_allclose(fwd, R.T @ np.array([0, 0, 1.0]),
+                                   atol=1e-3)
+        # orbit page markers present
+        page = urllib.request.urlopen(v.url, timeout=10).read().decode()
+        assert "orbit" in page and "kf_fwd" in page
+    finally:
+        v.stop()

@@ -208,6 +208,33 @@ def verify_loop(
     return res.T12, res.n_inliers, res.ok
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def verify_and_gate(
+    db: DatabaseState, m: ms.MapState, q: jnp.ndarray, c: jnp.ndarray,
+    key: jnp.ndarray, cfg: SystemConfig,
+) -> jnp.ndarray:
+    """verify_loop + the discrepancy gate's delta, as ONE device program
+    returning a flat [20] vector: [T_qc (16), n_inliers, ok, dt, dr].
+    The host resolve path stacks one of these per candidate and reads
+    them in a single d2h transfer — on relay-tunneled TPUs each read
+    costs ~2 s, so folding the per-candidate scalar pulls (ok, inliers,
+    pose deltas) into one read is what keeps loop resolution off the
+    frame-pipeline critical path."""
+    from aslam_tpu.utils.se3 import T_inv
+
+    T_qc, n_inl, ok = verify_loop(db, m, q, c, key, cfg)
+    T_rel_est = m.kf_T_cw[q] @ T_inv(m.kf_T_cw[c])
+    delta = T_qc @ T_inv(T_rel_est)
+    dt = jnp.linalg.norm(delta[:3, 3])
+    dr = jnp.arccos(jnp.clip(
+        (jnp.trace(delta[:3, :3]) - 1.0) / 2.0, -1.0, 1.0))
+    return jnp.concatenate([
+        T_qc.reshape(-1),
+        jnp.stack([n_inl.astype(jnp.float32), ok.astype(jnp.float32),
+                   dt, dr]),
+    ])
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "edges_per_node"))
 def build_pose_graph(
     m: ms.MapState, q: jnp.ndarray, c: jnp.ndarray, T_qc: jnp.ndarray,
@@ -419,6 +446,9 @@ class LoopClosing:
         # that stops being detected is dropped, so `count` really means
         # consecutive KFs.
         self.consistent_groups: list[tuple[set, int]] = []
+        # verify-event budget per batched sync (None = unlimited, the
+        # host per-KF path); set by process_keyframes_batch
+        self._sync_corrections_left: int | None = None
 
     def _train(self, m: ms.MapState) -> bool:
         """(Re)train the vocabulary from the current map and rebuild the
@@ -512,7 +542,8 @@ class LoopClosing:
         return query_candidates(self.db, m, slot_j, gap_ok, cfg)
 
     def process_keyframes_batch(self, m: ms.MapState, slots, kf_ids_fresh,
-                                n_live: int | None = None):
+                                n_live: int | None = None,
+                                max_corrections: int = 4):
         """Device-resident sync cadence: run detection for a WINDOW of
         fresh keyframes with ONE stacked host read, then resolve (the
         rare consistency/verify/correct part) sequentially.  Fresh KFs
@@ -520,11 +551,15 @@ class LoopClosing:
         min_kf_gap eligibility gate excludes them, so add-all-then-query
         matches the interleaved per-KF semantics.  `n_live` (from the
         caller's ring read) avoids per-KF device reads in the vocabulary
-        lifecycle checks."""
+        lifecycle checks.  `max_corrections` bounds the verify/correct
+        events per sync (each costs one stacked device read, ~2 s worst
+        case on relay tunnels); excess consistent candidates keep their
+        streaks and get re-detected next sync."""
         self._maybe_train_vocab(m, n_live=n_live)
         if self.vocab is None:
             return m
         refreshed = self.maybe_refresh(m, n_live=n_live)
+        self._sync_corrections_left = max_corrections
         queries = []
         for s, kid in zip(slots, kf_ids_fresh):
             queries.append((s, kid, self._detect(
@@ -546,6 +581,7 @@ class LoopClosing:
             scores = rec[n_c:2 * n_c]
             groups = rec[2 * n_c:].reshape(n_c, K).astype(bool)
             m = self._resolve(m, int(s), int(kid), cands, scores, groups)
+        self._sync_corrections_left = None   # host per-KF path: unlimited
         return m
 
     def _resolve(self, m: ms.MapState, slot: int, kf_id: int,
@@ -587,28 +623,37 @@ class LoopClosing:
         if not enough:
             return m
 
-        # geometric verification of the consistent candidates, best first
+        # geometric verification of the consistent candidates + the
+        # discrepancy delta, fused per candidate and read in ONE stacked
+        # transfer (the per-candidate bool(ok)/pose reads were ~2 s each
+        # through the relay and dominated loop-resolution wall time)
+        if self._sync_corrections_left is not None:
+            if self._sync_corrections_left <= 0:
+                return m        # budget spent; streaks stay warm for
+                                # re-detection at the next sync
+            self._sync_corrections_left -= 1
+        recs = []
         for cand_i in enough:
             self.key, sub = jax.random.split(self.key)
-            T_qc, n_inl, ok = verify_loop(
-                self.db, m, slot_j, jnp.int32(cand_i), sub, cfg
-            )
+            recs.append(verify_and_gate(
+                self.db, m, slot_j, jnp.int32(cand_i), sub, cfg))
+        allrec = np.asarray(jnp.stack(recs))        # the one read
+        chosen = None
+        for rec, cand_i in zip(allrec, enough):
+            n_inl, okf = int(rec[16]), rec[17] > 0.5
             if self.verbose:
                 print(f"  [lc] verify kf_id={kf_id} cand_slot={cand_i} "
-                      f"inl={int(n_inl)} ok={bool(ok)}", flush=True)
-            if bool(ok):
+                      f"inl={n_inl} ok={bool(okf)}", flush=True)
+            if okf:
+                chosen = (cand_i, rec[:16].reshape(4, 4).astype(np.float64),
+                          n_inl, float(rec[18]), float(rec[19]))
                 break
-        else:
+        if chosen is None:
             return m
+        cand_i, T_qc, n_inl, dt, dr = chosen
 
         # discrepancy gate: only correct when the verified transform
         # actually disagrees with the current estimate (there IS drift)
-        T_rel_est = np.asarray(m.kf_T_cw[slot]) @ np.linalg.inv(
-            np.asarray(m.kf_T_cw[cand_i]))
-        delta = np.asarray(T_qc) @ np.linalg.inv(T_rel_est)
-        dt = float(np.linalg.norm(delta[:3, 3]))
-        dr = float(np.arccos(np.clip(
-            (np.trace(delta[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)))
         if dt < cfg.loop.min_correction_t and dr < cfg.loop.min_correction_r:
             if self.verbose:
                 print(f"  [lc] consistent revisit kf_id={kf_id} "
@@ -619,8 +664,9 @@ class LoopClosing:
             self.consistent_groups = []
             return m
 
-        pg = build_pose_graph(m, slot_j, jnp.int32(cand_i), T_qc, cfg,
-                              loop_inliers=n_inl)
+        pg = build_pose_graph(m, slot_j, jnp.int32(cand_i),
+                              jnp.asarray(T_qc), cfg,
+                              loop_inliers=jnp.int32(n_inl))
         if m.kf_valid.shape[0] > 256:
             # matrix-free PCG at map scale; dense Cholesky under ~256 KFs
             pg = pose_graph.optimize_cg(pg, iters=cfg.loop.pose_graph_iters)

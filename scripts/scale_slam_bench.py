@@ -302,24 +302,28 @@ def run_device(args, cfg, cam, scene, rng, n_pf):
             frame_i += 1
             i0 = 1
             print(f"seq {s}: re-anchored={ok}", flush=True)
-        n_chunks = 0
+        # one barrier per SEQUENCE, not per chunk: through the relay a
+        # completion barrier has the same heavy tail as a read (measured:
+        # identical chunk sequences 0.4 s vs 67 s wall depending on which
+        # barrier absorbs the stall), so per-chunk barriers multiply the
+        # tail risk 36x per sequence for no information
+        t_seq = time.time()
+        n_seq_frames = 0
         for c0 in range(i0, n_pf, chunk):
             c1 = min(c0 + chunk, n_pf)
-            t0 = time.time()
             dev.process_chunk(
                 imgs[c0:c1], deps[c0:c1],
                 ts=[(frame_i + j) * 0.033 for j in range(c1 - c0)])
-            jax.block_until_ready(dev.state.m.kf_T_cw)
-            n_chunks += 1
-            if dev.loop_closing is None and n_chunks % 8 == 0:
-                # loop cadence off -> no free count from the sync read;
-                # poll occasionally for bucketing / the capacity stop
-                dev.last_n_kfs = int(dev.state.n_kfs)
-            chunk_rec.append((dev.last_n_kfs, c1 - c0, time.time() - t0))
             gt_all.extend(poses[c0:c1])
             frame_i += c1 - c0
+            n_seq_frames += c1 - c0
             if dev.last_n_kfs >= cfg.map.max_keyframes - 2:
                 break
+        jax.block_until_ready(dev.state.m.kf_T_cw)
+        if dev.loop_closing is None:
+            dev.last_n_kfs = int(dev.state.n_kfs)
+        chunk_rec.append((dev.last_n_kfs, n_seq_frames,
+                          time.time() - t_seq))
         seq_ranges.append((lo, frame_i))
         print(f"seq {s}: frames {lo}..{frame_i}  kfs~{dev.last_n_kfs} "
               f"mapped={dev.kfs_mapped} "

@@ -318,10 +318,12 @@ class DeviceSlam:
         self.state, T, stats, ref_id, T_cr, cull = slam_step(
             self.state, jnp.asarray(img), jnp.asarray(depth), sub,
             self.cfg, h, w, inline_mapping=self.inline_mapping)
-        self.pose_buf.append(T)
-        self.stats_buf.append(stats)
-        self.ref_id_buf.append(ref_id)
-        self.rel_pose_buf.append(T_cr)
+        # buffers hold [T, ...] arrays (chunk granularity): export-time
+        # concatenation is a handful of operands, not one per frame
+        self.pose_buf.append(T[None])
+        self.stats_buf.append(stats[None])
+        self.ref_id_buf.append(ref_id[None])
+        self.rel_pose_buf.append(T_cr[None])
         if self.inline_mapping:
             self._cull_pending.append(cull)
         self.timestamps.append(t)
@@ -331,9 +333,11 @@ class DeviceSlam:
 
     def _bootstrap(self, img, depth, t):
         self.state = init_slam(self.cfg, img, depth, ring=self.ring)
-        self.pose_buf.append(self.state.last_frame.T_cw)
-        self.ref_id_buf.append(jnp.int32(0))
-        self.rel_pose_buf.append(jnp.eye(4))
+        self.pose_buf.append(self.state.last_frame.T_cw[None])
+        # no stats row for the bootstrap frame (tracking ran on frames
+        # 1..N-1 only — stats length stays N-1, as in streaming mode)
+        self.ref_id_buf.append(jnp.zeros((1,), jnp.int32))
+        self.rel_pose_buf.append(jnp.eye(4)[None])
         self.timestamps.append(t)
         self.n_processed += 1
 
@@ -357,10 +361,10 @@ class DeviceSlam:
             self.state, self.key, jnp.asarray(imgs[start:]),
             jnp.asarray(depths[start:]), self.cfg, h, w,
             inline_mapping=self.inline_mapping)
-        self.pose_buf.extend(Ts[i] for i in range(n - start))
-        self.stats_buf.extend(stats[i] for i in range(n - start))
-        self.ref_id_buf.extend(ref_ids[i] for i in range(n - start))
-        self.rel_pose_buf.extend(T_crs[i] for i in range(n - start))
+        self.pose_buf.append(Ts)
+        self.stats_buf.append(stats)
+        self.ref_id_buf.append(ref_ids)
+        self.rel_pose_buf.append(T_crs)
         if self.inline_mapping:
             self._cull_pending.append(culls)   # CullInfo [T,3,...]
         self.timestamps.extend(ts[start:])
@@ -443,8 +447,8 @@ class DeviceSlam:
     def finish(self):
         """Flush mapping and pull the trajectory (one batched read)."""
         self._background_mapping()
-        traj = np.asarray(jnp.stack(self.pose_buf))
-        stats = (np.stack([np.asarray(s) for s in self.stats_buf])
+        traj = np.asarray(jnp.concatenate(self.pose_buf))
+        stats = (np.asarray(jnp.concatenate(self.stats_buf))
                  if self.stats_buf else np.zeros((0, 9)))
         return traj, stats
 
@@ -460,9 +464,9 @@ class DeviceSlam:
         kf_T = np.asarray(m.kf_T_cw)
         id2slot = {int(i): s for s, i in enumerate(kf_ids) if kf_valid[s]}
         culled = self.culled_registry()
-        refs = np.asarray(jnp.stack(self.ref_id_buf))
-        rels = np.asarray(jnp.stack(self.rel_pose_buf))
-        frozen = np.asarray(jnp.stack(self.pose_buf))
+        refs = np.asarray(jnp.concatenate(self.ref_id_buf))
+        rels = np.asarray(jnp.concatenate(self.rel_pose_buf))
+        frozen = np.asarray(jnp.concatenate(self.pose_buf))
         out = []
         for i in range(len(refs)):
             T_acc = rels[i]
@@ -509,10 +513,10 @@ class DeviceSlam:
             last_frame=frame, last_assoc=assoc,
             grid_thresholds=ad.grid_thresholds,
         )
-        self.pose_buf.append(frame.T_cw)
-        self.stats_buf.append(jnp.zeros((9,)))
-        self.ref_id_buf.append(st.kf_counter - 1)
-        self.rel_pose_buf.append(frame.T_cw @ T_inv(st.last_kf_T))
+        self.pose_buf.append(frame.T_cw[None])
+        self.stats_buf.append(jnp.zeros((1, 9)))
+        self.ref_id_buf.append((st.kf_counter - 1)[None])
+        self.rel_pose_buf.append((frame.T_cw @ T_inv(st.last_kf_T))[None])
         self.timestamps.append(t)
         self.n_processed += 1
         return ok

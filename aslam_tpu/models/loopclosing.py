@@ -97,6 +97,54 @@ def add_keyframes_batch(db: DatabaseState, vocab: bow.Vocabulary,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _gather_train_descriptors(m: ms.MapState, cap: int):
+    """Up to `cap` valid descriptors, pseudo-randomly subsampled on
+    device (Knuth-hash priorities; one small d2h read for the caller).
+    Returns (desc [cap,8] uint32, ok [cap] bool)."""
+    ok = (m.kf_kp_valid & m.kf_valid[:, None]).reshape(-1)
+    n = ok.shape[0]
+    prio = (jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)) \
+        .astype(jnp.int32)
+    prio = jnp.where(ok, prio, jnp.int32(-2**31))
+    _, idx = jax.lax.top_k(prio, min(cap, n))
+    return m.kf_desc.reshape(-1, 8)[idx], ok[idx]
+
+
+@jax.jit
+def _pack_query(cands, scores, groups):
+    return jnp.concatenate([
+        cands.astype(jnp.float32).reshape(-1),
+        scores.reshape(-1),
+        groups.astype(jnp.float32).reshape(-1),
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def batch_query(
+    db: DatabaseState, m: ms.MapState,
+    slots: jnp.ndarray,      # [B] int32 (padding -1)
+    kf_ids: jnp.ndarray,     # [B] int32
+    svalid: jnp.ndarray,     # [B] bool
+    cfg: SystemConfig,
+):
+    """query_candidates for a whole window of keyframes as ONE device
+    program (lax.map over the window) — the device-resident sync path
+    dispatches this once and reads the stacked result once, instead of
+    one dispatch + one read per keyframe."""
+
+    def one(args):
+        slot, kid, ok_f = args
+        s = jnp.maximum(slot, 0)
+        gap_ok = (kid - m.kf_id) >= cfg.loop.min_kf_gap
+        c, sc, g = query_candidates(db, m, s, gap_ok, cfg)
+        return (jnp.where(ok_f, c, -1),
+                jnp.where(ok_f, sc, -1.0),
+                g & ok_f)
+
+    return jax.lax.map(one, (slots, kf_ids, svalid))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def query_candidates(
     db: DatabaseState, m: ms.MapState, slot: jnp.ndarray,
@@ -450,24 +498,25 @@ class LoopClosing:
         # host per-KF path); set by process_keyframes_batch
         self._sync_corrections_left: int | None = None
 
-    def _train(self, m: ms.MapState) -> bool:
+    def _train(self, m: ms.MapState, n_live: int | None = None) -> bool:
         """(Re)train the vocabulary from the current map and rebuild the
-        database under the new word space.  Returns True on success."""
-        valid = np.asarray(m.kf_valid)
-        desc = np.asarray(m.kf_desc)[valid]
-        ok = np.asarray(m.kf_kp_valid)[valid]
-        train = desc[ok]
+        database under the new word space.  Returns True on success.
+
+        The training subsample is gathered ON DEVICE (pseudo-random
+        priority top-k over valid descriptor slots) so only
+        TRAIN_CAP x 32 B crosses the link — the full kf_desc table is
+        tens of MB, minutes through a relay tunnel."""
+        train, t_ok = _gather_train_descriptors(m, self.TRAIN_CAP)
+        train = np.asarray(train)[np.asarray(t_ok)]
         if len(train) < 100:
             return False
-        if len(train) > self.TRAIN_CAP:
-            sel = np.random.default_rng(0).choice(
-                len(train), self.TRAIN_CAP, replace=False)
-            train = train[sel]
         self.vocab = bow.train_vocabulary(
             train, branching=self.cfg.loop.vocab_branching,
             depth=self.cfg.loop.vocab_depth,
         )
-        self.trained_on_kfs = int(valid.sum())
+        if n_live is None:
+            n_live = int(np.asarray(m.kf_valid).sum())
+        self.trained_on_kfs = n_live
         # rebuild: every valid keyframe re-enters under the new vocabulary
         # — one batched dispatch, not a per-KF host loop
         self.db = add_keyframes_batch(
@@ -483,7 +532,7 @@ class LoopClosing:
             n_live = int(np.asarray(m.kf_valid).sum())
         if n_live < self.train_after:
             return
-        self._train(m)
+        self._train(m, n_live=n_live)
 
     def maybe_refresh(self, m: ms.MapState,
                       n_live: int | None = None) -> bool:
@@ -498,7 +547,7 @@ class LoopClosing:
             n_live = int(np.asarray(m.kf_valid).sum())
         if n_live < self.refresh_factor * max(self.trained_on_kfs, 1):
             return False
-        return self._train(m)
+        return self._train(m, n_live=n_live)
 
     def process_keyframe(self, m: ms.MapState, slot: int, kf_id: int) -> ms.MapState:
         """Per-keyframe loop pipeline: DB maintenance + detection (device)
@@ -558,29 +607,48 @@ class LoopClosing:
         self._maybe_train_vocab(m, n_live=n_live)
         if self.vocab is None:
             return m
-        refreshed = self.maybe_refresh(m, n_live=n_live)
+        self.maybe_refresh(m, n_live=n_live)
         self._sync_corrections_left = max_corrections
-        queries = []
+
+        # DB update: one batched whole-database rebuild (every valid KF
+        # re-enters; fresh-window KFs can't become each other's
+        # candidates — min_kf_gap excludes them)
+        self.db = add_keyframes_batch(
+            init_database(self.cfg), self.vocab,
+            m.kf_desc, m.kf_kp_valid, m.kf_valid,
+        )
+
+        # gap-gate + streak bookkeeping on host, queries on device in ONE
+        # lax.map program (bucketed to power-of-2 window lengths so a
+        # handful of compiled shapes cover every sync)
+        jobs = []
         for s, kid in zip(slots, kf_ids_fresh):
-            queries.append((s, kid, self._detect(
-                m, int(s), int(kid), maintain=False, refreshed=refreshed)))
-        live = [(s, k, q) for s, k, q in queries if q is not None]
-        if not live:
+            if int(kid) - self.last_loop_kf_id < self.cfg.loop.min_kf_gap:
+                self.consistent_groups = []
+                continue
+            jobs.append((int(s), int(kid)))
+        if not jobs:
             return m
-        # one host sync for the whole window
-        stacked = np.asarray(jnp.concatenate(
-            [jnp.concatenate([q[0].astype(jnp.float32), q[1],
-                              q[2].reshape(-1).astype(jnp.float32)])
-             for _, _, q in live]))
-        n_c = live[0][2][0].shape[0]
+        B = 1
+        while B < len(jobs):
+            B *= 2
+        j_slots = np.full(B, -1, np.int32)
+        j_ids = np.full(B, -1, np.int32)
+        j_slots[:len(jobs)] = [s for s, _ in jobs]
+        j_ids[:len(jobs)] = [k for _, k in jobs]
+        cands_b, scores_b, groups_b = batch_query(
+            self.db, m, jnp.asarray(j_slots), jnp.asarray(j_ids),
+            jnp.asarray(j_slots >= 0), self.cfg)
+        # one host sync for the whole window (pack -> single transfer)
+        n_c = cands_b.shape[1]
         K = m.kf_valid.shape[0]
-        per = n_c + n_c + n_c * K
-        for i, (s, kid, _) in enumerate(live):
-            rec = stacked[i * per:(i + 1) * per]
-            cands = rec[:n_c].astype(np.int32)
-            scores = rec[n_c:2 * n_c]
-            groups = rec[2 * n_c:].reshape(n_c, K).astype(bool)
-            m = self._resolve(m, int(s), int(kid), cands, scores, groups)
+        flat = np.asarray(_pack_query(cands_b, scores_b, groups_b))
+        cands_b = flat[:B * n_c].reshape(B, n_c).astype(np.int32)
+        scores_b = flat[B * n_c:2 * B * n_c].reshape(B, n_c)
+        groups_b = flat[2 * B * n_c:].reshape(B, n_c, K).astype(bool)
+        for i, (s, kid) in enumerate(jobs):
+            m = self._resolve(m, s, kid, cands_b[i], scores_b[i],
+                              groups_b[i])
         self._sync_corrections_left = None   # host per-KF path: unlimited
         return m
 

@@ -497,6 +497,7 @@ class LoopClosing:
         # verify-event budget per batched sync (None = unlimited, the
         # host per-KF path); set by process_keyframes_batch
         self._sync_corrections_left: int | None = None
+        self._gba_pending = False
 
     def _train(self, m: ms.MapState, n_live: int | None = None) -> bool:
         """(Re)train the vocabulary from the current map and rebuild the
@@ -646,9 +647,13 @@ class LoopClosing:
         cands_b = flat[:B * n_c].reshape(B, n_c).astype(np.int32)
         scores_b = flat[B * n_c:2 * B * n_c].reshape(B, n_c)
         groups_b = flat[2 * B * n_c:].reshape(B, n_c, K).astype(bool)
+        self._gba_pending = False
         for i, (s, kid) in enumerate(jobs):
             m = self._resolve(m, s, kid, cands_b[i], scores_b[i],
                               groups_b[i])
+        if self._gba_pending:
+            m = self._post_loop_gba(m)
+            self._gba_pending = False
         self._sync_corrections_left = None   # host per-KF path: unlimited
         return m
 
@@ -747,29 +752,40 @@ class LoopClosing:
             # mPosGBA staging; the multi-view refresh supersedes it)
             m = ms.refresh_landmark_positions(m, cfg)
         if cfg.loop.post_gba_iters > 0:
-            # close the seam the pose graph leaves at the loop ends with a
-            # bounded full-map BA (the reference's staged GBA-after-loop
-            # intent, globalbundleadjustment.cpp:154-190), regularized by
-            # the pose-graph-corrected chain so the joint re-solve cannot
-            # shear it to fit landmark depth noise
-            from aslam_tpu.ops import global_ba as gba
-            from aslam_tpu.ops.lba import map_chain
-
-            chain = None
-            if (cfg.ba.chain_prior_weight > 0
-                    and cfg.loop.post_gba_method == "gn_cg"):
-                chain = map_chain(m.kf_T_cw, m.kf_valid, m.kf_id,
-                                  cfg.ba.chain_prior_weight)
-            m, _ = gba.global_ba(
-                m, cfg.camera, cfg.ba,
-                iters=cfg.loop.post_gba_iters,
-                robust_iters=max(cfg.loop.post_gba_iters // 2, 1),
-                method=cfg.loop.post_gba_method,
-                chain=chain,
-            )
+            if self._sync_corrections_left is not None:
+                # batched sync: stage the GBA (the reference's deferred
+                # mTcwGBA/mPosGBA intent) — ONE full-map pass per sync
+                # closes every correction's seam together instead of
+                # paying the whole-map solve per event
+                self._gba_pending = True
+            else:
+                m = self._post_loop_gba(m)
         self.last_loop_kf_id = kf_id
         self.consistent_groups = []
         self.loops.append((slot, cand_i))
+        return m
+
+    def _post_loop_gba(self, m: ms.MapState) -> ms.MapState:
+        """Bounded full-map BA after loop correction(s)
+        (globalbundleadjustment.cpp:154-190 staged-GBA intent),
+        regularized by the pose-graph-corrected chain so the joint
+        re-solve cannot shear it to fit landmark depth noise."""
+        cfg = self.cfg
+        from aslam_tpu.ops import global_ba as gba
+        from aslam_tpu.ops.lba import map_chain
+
+        chain = None
+        if (cfg.ba.chain_prior_weight > 0
+                and cfg.loop.post_gba_method == "gn_cg"):
+            chain = map_chain(m.kf_T_cw, m.kf_valid, m.kf_id,
+                              cfg.ba.chain_prior_weight)
+        m, _ = gba.global_ba(
+            m, cfg.camera, cfg.ba,
+            iters=cfg.loop.post_gba_iters,
+            robust_iters=max(cfg.loop.post_gba_iters // 2, 1),
+            method=cfg.loop.post_gba_method,
+            chain=chain,
+        )
         return m
 
     def relocalize(self, m: ms.MapState, frame, n_candidates: int = 3):

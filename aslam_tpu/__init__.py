@@ -37,6 +37,27 @@ import jax as _jax
 # inputs and are unaffected.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent XLA compilation cache.  Through the axon TPU relay a single
+# compile of the fused per-frame SLAM program costs 55-130 s wall (the
+# compile happens server-side, per process); with the cache, every
+# process after the first loads the serialized executable in <0.1 s.
+# This is what makes fresh-subprocess benching (bench.py) and repeated
+# rehearsal runs tractable.  Opt out with ASLAM_NO_COMPILE_CACHE=1;
+# override the location with ASLAM_COMPILE_CACHE_DIR.
+import os as _os
+
+if (not _os.environ.get("ASLAM_NO_COMPILE_CACHE")
+        and not _os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+    # JAX_COMPILATION_CACHE_DIR (e.g. the test harness's /tmp cache)
+    # takes precedence; this is the engine-level default.
+    _cache_dir = _os.environ.get(
+        "ASLAM_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      _os.pardir, ".jax_cache"))
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 from aslam_tpu.config import (  # noqa: F401
     CameraModel,
     ExtractorConfig,

@@ -47,19 +47,18 @@ def _gaussian_kernel(ksize: int, sigma: float) -> tuple[float, ...]:
 
 def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
     """Separable Gaussian blur with edge replication, [H,W] -> [H,W]."""
-    k = jnp.asarray(_gaussian_kernel(ksize, sigma), img.dtype)
+    k = _gaussian_kernel(ksize, sigma)
     half = ksize // 2
+    H, W = img.shape
+    # static shifted-slice accumulation: a 1-channel spatial conv cannot
+    # use the MXU and lowers to a slow scalar loop on TPU (~3.3 ms at
+    # 640x480); 2*ksize fused elementwise FMAs are HBM-bound (~50 us)
     x = jnp.pad(img, ((half, half), (0, 0)), mode="edge")
-    # vertical pass
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None],
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    x = jnp.pad(x, ((0, 0), (half, half)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :],
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    return x
+    y = jnp.zeros_like(img)
+    for i in range(ksize):
+        y = y + float(k[i]) * jax.lax.slice(x, (i, 0), (i + H, W))
+    x = jnp.pad(y, ((0, 0), (half, half)), mode="edge")
+    y = jnp.zeros_like(img)
+    for i in range(ksize):
+        y = y + float(k[i]) * jax.lax.slice(x, (0, i), (H, i + W))
+    return y

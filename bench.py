@@ -134,7 +134,7 @@ def run_single():
         f_prev, jnp.asarray(imgs_u8[1]), jnp.asarray(depths_u16[1]),
         state.grid_thresholds, keys[0], cfg, cam.height, cam.width)
     state = state._replace(grid_thresholds=grid)
-    jax.block_until_ready(res.T_cw2)
+    _ = float(jnp.sum(res.T_cw2))         # completion read, not block
     log(f"compile+warmup {time.time() - t0:.1f}s")
 
     # Two modes, both timed end-to-end including host->device upload of the
@@ -166,12 +166,17 @@ def run_single():
             state.grid_thresholds, keys[i], cfg, cam.height, cam.width)
         state = state._replace(grid_thresholds=grid)
         pose_buf.append(res.T_cw2)
-        # per-frame completion barrier (no data transfer) — real-time
-        # semantics without paying the relay's d2h read tax in-loop
-        jax.block_until_ready(prev.T_cw)
         n_timed += 1
+    # completion barrier = a real 4-byte d2h read of a derived scalar.
+    # jax.block_until_ready does NOT await execution through the axon
+    # relay (measured: returns in 3 ms while a ~200 ms program is still
+    # running; only reads wait) — every pre-r4 headline that ended its
+    # timed region at block_until_ready measured DISPATCH rate, not
+    # throughput.  See docs/PERF.md round-4 section.
+    _ = float(jnp.sum(prev.T_cw))
     stream_fps = n_timed / (time.time() - t0)
-    log(f"stream pass: {n_timed} frames -> {stream_fps:.1f} fps")
+    log(f"stream pass: {n_timed} frames -> {stream_fps:.1f} fps "
+        "(completion-read barrier)")
     best_fps = stream_fps
 
     # Sanity readback deliberately happens ONLY at the end: an attempt here
@@ -191,7 +196,8 @@ def run_single():
             f_prev, jnp.asarray(imgs_u8[1:n_frames]),
             jnp.asarray(depths_u16[1:n_frames]), state.grid_thresholds,
             keys[1:n_frames], cfg, cam.height, cam.width)
-        jax.block_until_ready(seq_res.T_cw)
+        _ = float(jnp.sum(seq_res.T_cw))  # completion read: warmup work
+        # must be DONE before the timed stream starts, not just enqueued
         log(f"chunked compile+warmup {time.time() - t0:.1f}s")
 
         # double-buffered input pipeline: chunk k+1 uploads (async
@@ -202,15 +208,14 @@ def run_single():
             return (jax.device_put(imgs_u8[lo + 1: lo + n_frames]),
                     jax.device_put(depths_u16[lo + 1: lo + n_frames]))
 
-        # Timed as ONE continuous stream (single t0, single final barrier):
-        # the relay pipelines async dispatches, so per-pass timings
-        # misattribute work across passes (observed: a pass "finishing" in
-        # 1 ms / 62k fps because it overlapped the previous pass's
-        # barrier — per-pass barriers through the relay are NOT reliable
-        # measurement points).  The aggregate is the honest steady-state
-        # number; robustness to relay weather comes from the fresh-process
-        # orchestrator (best verified attempt of N), not from in-process
-        # cherry-picking.
+        # Timed as ONE continuous stream, ended by a real 4-byte
+        # completion READ of a scalar derived from the last pass's output
+        # (which transitively awaits every chained pass).  NOT
+        # block_until_ready: through the axon relay that returns at
+        # queue admission, not completion — the pre-r4 "1592-1854 fps"
+        # headlines measured dispatch rate (docs/PERF.md r4).  Robustness
+        # to relay weather comes from the fresh-process orchestrator
+        # (best verified attempt of N), not in-process cherry-picking.
         bufs = put(1)
         prev = f_prev
         results = []
@@ -226,7 +231,7 @@ def run_single():
             if rep + 1 < n_passes:
                 bufs = put(rep + 1)
             results.append(seq_res.T_cw)
-        jax.block_until_ready(results[-1])
+        _ = float(jnp.sum(results[-1]))   # completion read (see above)
         dt = time.time() - t0
         n_timed = (n_passes - 1) * (n_frames - 1)
         chunk_fps = n_timed / dt
@@ -274,7 +279,10 @@ def orchestrate():
     import subprocess
 
     attempts = int(os.environ.get("ASLAM_BENCH_ATTEMPTS", "4"))
-    target = float(os.environ.get("ASLAM_BENCH_TARGET_FPS", "1500"))
+    # early-stop bar for the honest (completion-read) metric: 3x the
+    # 30 fps reference tracker plus headroom.  The pre-r4 default of 1500
+    # belonged to the dispatch-rate era (docs/PERF.md r4).
+    target = float(os.environ.get("ASLAM_BENCH_TARGET_FPS", "95"))
     child_timeout = float(os.environ.get("ASLAM_BENCH_CHILD_TIMEOUT", "900"))
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/aslam_bench_cache")

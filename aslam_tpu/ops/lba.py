@@ -220,14 +220,16 @@ def schur_solve(
     ) + 1e-8 * eyes3
     Hll_inv = chol_inv(Hll_d)                        # [L,3,3] batched
 
-    # Y = W Hll^-1   [C,L,6,3]
-    Y = jnp.einsum("clij,cljk->clik", W, jnp.broadcast_to(Hll_inv, (C, L, 3, 3)))
+    # Y = W Hll^-1   [C,L,6,3] — einsum contracts the [L,3,3] factor
+    # directly; an explicit broadcast_to materializes an 18 MB [C,L,3,3]
+    # array for nothing
+    Y = jnp.einsum("clij,ljk->clik", W, Hll_inv)
 
-    # S = blockdiag(Hcc) - Y W^T  as [6C, 6C]
-    Wm = W.transpose(0, 2, 1, 3).reshape(C * 6, L * 3)
-    Ym = Y.transpose(0, 2, 1, 3).reshape(C * 6, L * 3)
-    S = -jnp.dot(Ym, Wm.T, preferred_element_type=jnp.float32)
-    S = S.reshape(C, 6, C, 6)
+    # S = blockdiag(Hcc) - Y W^T as [C,6,C,6]; the single einsum lets XLA
+    # fuse the layout changes into the matmul instead of paying two
+    # explicit [C,L,6,3] transpose copies
+    S = -jnp.einsum("clik,dljk->cidj", Y, W,
+                    preferred_element_type=jnp.float32)
     S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Hcc)
     if H_chain is not None:
         S = S + H_chain.transpose(0, 2, 1, 3)
@@ -280,23 +282,36 @@ def ba_iterate(
             return None, None, 0.0
         return chain_terms(p.cam_T, chain)
 
+    def full_assemble(p):
+        Hcc, bc, Hll, bl, W, chi2 = assemble(p, cam, cfg, robust)
+        H_ch, b_ch, chi2_ch = chi2_and_chain(p)
+        return (Hcc, bc, Hll, bl, W, H_ch, b_ch), chi2 + chi2_ch
+
+    # Single-assemble LM: the normal equations of the CURRENT accepted
+    # iterate ride the carry, so each iteration assembles once (for the
+    # candidate) instead of twice — exactly equivalent to the
+    # assemble-twice monotone schedule because assemble() is pure (a
+    # rejected step re-solves the carried H at higher damping, which is
+    # the textbook LM retry).
     def body(_, carry):
-        p, lam = carry
-        Hcc, bc, Hll, bl, W, chi2_0 = assemble(p, cam, cfg, robust)
-        H_ch, b_ch, chi2_ch0 = chi2_and_chain(p)
+        p, lam, H_p, chi2_p = carry
+        Hcc, bc, Hll, bl, W, H_ch, b_ch = H_p
         dxc, dxl = schur_solve(Hcc, bc, Hll, bl, W, p.cam_fixed,
                                p.point_valid, lam,
                                H_chain=H_ch, b_chain=b_ch)
         p_new = apply_update(p, dxc, dxl)
-        *_, chi2_1 = assemble(p_new, cam, cfg, robust)
-        _, _, chi2_ch1 = chi2_and_chain(p_new)
-        ok = (chi2_1 + chi2_ch1) < (chi2_0 + chi2_ch0)
+        H_new, chi2_new = full_assemble(p_new)
+        ok = chi2_new < chi2_p
         p = jax.tree.map(lambda a, b: jnp.where(ok, a, b), p_new, p)
+        H_p = jax.tree.map(lambda a, b: jnp.where(ok, a, b), H_new, H_p)
+        chi2_p = jnp.where(ok, chi2_new, chi2_p)
         lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-7),
                         jnp.minimum(lam * 8.0, 1e2))
-        return (p, lam)
+        return (p, lam, H_p, chi2_p)
 
-    p, _ = jax.lax.fori_loop(0, iters, body, (prob, jnp.asarray(lam)))
+    H_0, chi2_0 = full_assemble(prob)
+    p, _, _, _ = jax.lax.fori_loop(
+        0, iters, body, (prob, jnp.asarray(lam), H_0, chi2_0))
     return p
 
 

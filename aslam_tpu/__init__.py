@@ -50,10 +50,27 @@ if (not _os.environ.get("ASLAM_NO_COMPILE_CACHE")
         and not _os.environ.get("JAX_COMPILATION_CACHE_DIR")):
     # JAX_COMPILATION_CACHE_DIR (e.g. the test harness's /tmp cache)
     # takes precedence; this is the engine-level default.
-    _cache_dir = _os.environ.get(
-        "ASLAM_COMPILE_CACHE_DIR",
-        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                      _os.pardir, ".jax_cache"))
+    _cache_dir = _os.environ.get("ASLAM_COMPILE_CACHE_DIR")
+    if not _cache_dir:
+        # default: sibling of the package for a source checkout; for a
+        # site-packages install (parent possibly read-only or shared,
+        # advisor r4) fall back to a per-user cache dir
+        _repo_dir = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), _os.pardir)
+        if _os.access(_repo_dir, _os.W_OK):
+            _cache_dir = _os.path.join(_repo_dir, ".jax_cache")
+        else:
+            import tempfile as _tempfile
+
+            _cache_dir = _os.path.join(
+                _os.environ.get("XDG_CACHE_HOME")
+                or _os.path.join(_os.path.expanduser("~"), ".cache"),
+                "aslam_tpu", "jax_cache")
+            try:
+                _os.makedirs(_cache_dir, exist_ok=True)
+            except OSError:
+                _cache_dir = _os.path.join(
+                    _tempfile.gettempdir(), "aslam_tpu_jax_cache")
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

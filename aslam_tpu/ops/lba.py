@@ -166,6 +166,105 @@ def edge_terms(prob: BAProblem, cam: CameraModel, cfg: BAConfig, robust: bool):
     return r, Jc, Jp, w, chi2, active
 
 
+def edge_terms_grouped(prob: BAProblem, cam: CameraModel, cfg: BAConfig,
+                       robust: bool, group: int):
+    """`edge_terms` for camera-grouped problems — edge e belongs to camera
+    e // group (the layout localmapping.build_problem emits:
+    e_cam == repeat(arange(C), M)).  The pose "gather" becomes a broadcast
+    and the Jacobian kernel runs batched per camera.  Returns
+    [C,M,...]-shaped (r, Jc, Jp, w, chi2, active).
+
+    Motivation (r5 profile, docs/PERF.md): a random gather/scatter on this
+    TPU costs ~8 ns/element regardless of table size, so every
+    [E]-indexed operation on a 32k-edge window costs milliseconds; the
+    grouped layout removes them from the assembly entirely."""
+    C = prob.cam_T.shape[0]
+    M = group
+    lm = prob.e_lm.reshape(C, M)
+    p_e = prob.points[lm]                           # [C,M,3] (true gather)
+    uv = prob.e_uv.reshape(C, M, 2)
+    ur = prob.e_ur.reshape(C, M)
+
+    r, Jc, Jp, depth_ok = jax.vmap(
+        lambda T, p, uv_, ur_: project_residual_jac(T, p, uv_, ur_, cam)
+    )(prob.cam_T, p_e, uv, ur)                      # [C,M,3(,*)]
+
+    is_stereo = ur >= 0
+    row_mask = jnp.stack(
+        [jnp.ones_like(is_stereo), jnp.ones_like(is_stereo), is_stereo], -1)
+    r = jnp.where(row_mask, r, 0.0)
+    Jc = jnp.where(row_mask[..., None], Jc, 0.0)
+    Jp = jnp.where(row_mask[..., None], Jp, 0.0)
+
+    e_z = prob.e_z.reshape(C, M)
+    if cfg.info_model == "constant":
+        info = jnp.ones_like(e_z)
+    else:
+        info = jnp.where(
+            e_z > 1e-3, 1.0 / jnp.maximum(e_z, 1e-3) ** 2, 0.0)
+    chi2 = jnp.sum(r * r, -1) * info
+    chi2_th = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
+    w_huber = huber_weight(chi2, chi2_th) if robust else jnp.ones_like(chi2)
+
+    active = (
+        prob.e_valid.reshape(C, M)
+        & depth_ok
+        & prob.cam_valid[:, None]
+        & prob.point_valid[lm]
+    )
+    w = info * w_huber * active
+    return r, Jc, Jp, w, chi2, active
+
+
+def _grouped_chunk(C: int) -> int:
+    for b in (8, 4, 2):
+        if C % b == 0:
+            return b
+    return 1
+
+
+def assemble_grouped(prob: BAProblem, cam: CameraModel, cfg: BAConfig,
+                     robust: bool, group: int):
+    """`assemble` for camera-grouped problems: Hcc/bc are reshaped sums
+    (no scatter), and the landmark-aligned terms (W, Hll, bl) are built by
+    per-camera one-hot MXU matmuls instead of a 32k-block scatter-add
+    (measured ~6 ms -> sub-ms at the 64-cam window)."""
+    C = prob.cam_T.shape[0]
+    M = group
+    Lw = prob.points.shape[0]
+    r, Jc, Jp, w, chi2, active = edge_terms_grouped(prob, cam, cfg, robust,
+                                                    group)
+    wJc = w[..., None, None] * Jc                   # [C,M,3,6]
+    wJp = w[..., None, None] * Jp                   # [C,M,3,3]
+    Hcc = jnp.einsum("cmri,cmrj->cij", wJc, Jc)
+    bc = jnp.einsum("cmri,cmr->ci", wJc, r)
+
+    V = jnp.concatenate([
+        jnp.einsum("cmri,cmrj->cmij", wJc, Jp).reshape(C, M, 18),
+        jnp.einsum("cmri,cmrj->cmij", wJp, Jp).reshape(C, M, 9),
+        jnp.einsum("cmri,cmr->cmi", wJp, r),
+    ], -1)                                          # [C,M,30]
+    lm = prob.e_lm.reshape(C, M)
+
+    B = _grouped_chunk(C)
+
+    def chunk_body(acc, xs):
+        lm_c, V_c = xs                              # [B,M], [B,M,30]
+        oh = jax.nn.one_hot(lm_c, Lw, dtype=V.dtype)
+        out = jnp.einsum("bml,bmv->blv", oh, V_c)   # [B,Lw,30]
+        return acc + out[..., 18:].sum(0), out[..., :18]
+
+    acc0 = jnp.zeros((Lw, 12), V.dtype)
+    acc, W_chunks = jax.lax.scan(
+        chunk_body, acc0,
+        (lm.reshape(C // B, B, M), V.reshape(C // B, B, M, 30)))
+    W = W_chunks.reshape(C, Lw, 6, 3)
+    Hll = acc[:, :9].reshape(Lw, 3, 3)
+    bl = acc[:, 9:]
+    chi2_total = jnp.sum(jnp.where(active, chi2, 0.0))
+    return Hcc, bc, Hll, bl, W, chi2_total
+
+
 def assemble(prob: BAProblem, cam: CameraModel, cfg: BAConfig, robust: bool):
     """Build the block-sparse normal equations from the edge list.
 
@@ -270,6 +369,7 @@ def ba_iterate(
     prob: BAProblem, cam: CameraModel, cfg: BAConfig,
     iters: int, robust: bool, lam: float = 1e-4,
     chain: ChainSpec | None = None,
+    group: int | None = None,
 ) -> BAProblem:
     """Monotone Levenberg-Marquardt: a step that INCREASES chi2 is rejected
     and the damping raised (g2o's accept/reject schedule, which the
@@ -283,7 +383,11 @@ def ba_iterate(
         return chain_terms(p.cam_T, chain)
 
     def full_assemble(p):
-        Hcc, bc, Hll, bl, W, chi2 = assemble(p, cam, cfg, robust)
+        if group is not None:
+            Hcc, bc, Hll, bl, W, chi2 = assemble_grouped(
+                p, cam, cfg, robust, group)
+        else:
+            Hcc, bc, Hll, bl, W, chi2 = assemble(p, cam, cfg, robust)
         H_ch, b_ch, chi2_ch = chi2_and_chain(p)
         return (Hcc, bc, Hll, bl, W, H_ch, b_ch), chi2 + chi2_ch
 
@@ -315,27 +419,42 @@ def ba_iterate(
     return p
 
 
-def prune_outlier_edges(prob: BAProblem, cam: CameraModel, cfg: BAConfig) -> BAProblem:
+def prune_outlier_edges(prob: BAProblem, cam: CameraModel, cfg: BAConfig,
+                        group: int | None = None) -> BAProblem:
     """Drop edges with chi2 over threshold or nonpositive projected depth
     (lba.cpp:221-247)."""
-    _, _, _, _, chi2, active = edge_terms(prob, cam, cfg, robust=False)
+    if group is not None:
+        _, _, _, _, chi2, active = edge_terms_grouped(
+            prob, cam, cfg, robust=False, group=group)
+        chi2 = chi2.reshape(-1)
+        active = active.reshape(-1)
+    else:
+        _, _, _, _, chi2, active = edge_terms(prob, cam, cfg, robust=False)
     is_stereo = prob.e_ur >= 0
     chi2_th = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
     keep = active & (chi2 <= chi2_th)
     return prob._replace(e_valid=keep)
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "group"))
 def local_ba(prob: BAProblem, cam: CameraModel, cfg: BAConfig,
-             chain: ChainSpec | None = None):
+             chain: ChainSpec | None = None, group: int | None = None):
     """Full local-BA schedule (lba.cpp:212-255): robust iterations, outlier
-    pruning, then non-robust refinement.  Returns (problem, stats)."""
+    pruning, then non-robust refinement.  Returns (problem, stats).
+
+    `group` (static): edges-per-camera for camera-grouped problems
+    (localmapping.build_problem layout) — enables the scatter-free
+    assembly fast path (assemble_grouped)."""
     prob = ba_iterate(prob, cam, cfg, cfg.local_iters_1, robust=True,
-                      chain=chain)
-    prob = prune_outlier_edges(prob, cam, cfg)
+                      chain=chain, group=group)
+    prob = prune_outlier_edges(prob, cam, cfg, group=group)
     prob = ba_iterate(prob, cam, cfg, cfg.local_iters_2, robust=False,
-                      chain=chain)
-    _, _, _, _, chi2, active = edge_terms(prob, cam, cfg, robust=False)
+                      chain=chain, group=group)
+    if group is not None:
+        _, _, _, _, chi2, active = edge_terms_grouped(
+            prob, cam, cfg, robust=False, group=group)
+    else:
+        _, _, _, _, chi2, active = edge_terms(prob, cam, cfg, robust=False)
     stats = BAStats(
         chi2=jnp.sum(jnp.where(active, chi2, 0.0)),
         n_edges=jnp.sum(active.astype(jnp.int32)),

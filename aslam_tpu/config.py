@@ -288,6 +288,12 @@ class MapConfig:
 
     max_keyframes: int = 256
     max_landmarks: int = 32768
+    # capacity of the per-landmark observer reverse index (mapstate
+    # lm_obs_*): (kf, feat) pairs kept per landmark; appended at binding,
+    # ring-overwritten past the cap (covisibility weights undercount for
+    # landmarks observed by more than this many KFs — rare, and the
+    # entries lost are the OLDEST observers)
+    max_obs_per_lm: int = 16
     # capacity of the compacted candidate set fed to guided projection
     # matching (track-local-map / fuse).  The [cap, M] distance matrix
     # replaces a [max_landmarks, M] one — per-frame matching cost is
@@ -301,6 +307,18 @@ class MapConfig:
     cull_found_ratio: float = 0.25  # localmapping.cpp:122
     cull_min_obs: int = 3
     kf_cull_redundancy: float = 0.95  # localmapping.cpp:236
+    # KF-culling candidate set = top covisible neighbors of the current KF
+    # (the reference's scan set, localmapping.cpp:198), capped for static
+    # shapes
+    kf_cull_candidates: int = 32
+    # housekeeping cadence (device fast path): run landmark culling /
+    # keyframe culling on every Nth keyframe insertion instead of every
+    # one.  1 = reference cadence; the reference itself executes these
+    # with queue latency when mapping lags (localmapping.cpp:35-49), so a
+    # small N trades bounded staleness for per-KF cost.
+    lm_cull_every: int = 1
+    kf_cull_every: int = 1
+    kf_cull_rounds: int = 3
     # windowed Schur local BA at each KF insertion (localmapping.cpp:45-48).
     # Off = tracking + landmark bookkeeping only (ablations; odometry-grade
     # maps where chain-local consistency matters more than reprojection

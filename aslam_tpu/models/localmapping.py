@@ -45,8 +45,12 @@ def fuse_landmarks(m: ms.MapState, slot: jnp.ndarray,
     K, M = m.kf_lm.shape
     L = m.lm_pos.shape[0]
 
-    neighbor = ms.covis_row(m, slot) >= cfg.map.covis_min_weight   # [K]
-    cand = ms.landmark_mask_of_kfs(m, neighbor)
+    w_row = ms.covis_row_fast(m, slot)                             # [K]
+    n_cap = min(64, K)
+    nb_vals, nb_idx = jax.lax.top_k(
+        jnp.where(m.kf_valid, w_row, -1), n_cap)
+    nb_ok = nb_vals >= cfg.map.covis_min_weight
+    cand = ms.landmark_mask_of_slots(m, nb_idx, nb_ok)
 
     # exclude landmarks already bound in this KF
     own = m.kf_lm[slot]
@@ -70,7 +74,6 @@ def fuse_landmarks(m: ms.MapState, slot: jnp.ndarray,
         ratio=1.0,                                # no ratio test in Fuse
     )
 
-    obs = ms.observation_counts(m)
     tgt_feat = jnp.where(pm.valid, pm.target_idx, M)
     own_pad = jnp.concatenate([own, jnp.full((1,), -1, jnp.int32)])
     existing = own_pad[tgt_feat]                      # [cap] bound lm or -1
@@ -82,12 +85,19 @@ def fuse_landmarks(m: ms.MapState, slot: jnp.ndarray,
         jnp.where(bind, lm_ids, -1)
     )[:M]
 
-    # case B: feature bound to other landmark -> merge (keep more obs)
+    # case B: feature bound to other landmark -> merge (keep more obs),
+    # on a COMPACT pair set — obs counts come from the observer index
+    # for just the pair landmarks instead of a full-map histogram (r5)
     dup = pm.valid & (existing >= 0) & (existing != lm_ids)
-    ex_idx = jnp.where(existing >= 0, existing, 0)
-    keep_existing = obs[ex_idx] >= obs[lm_ids]
-    loser = jnp.where(dup, jnp.where(keep_existing, lm_ids, ex_idx), L)
-    winner = jnp.where(dup, jnp.where(keep_existing, ex_idx, lm_ids), L)
+    P = min(512, dup.shape[0])
+    dup_idx, dup_ok, _ = matching.compact_candidates(dup, P)
+    ex_d = jnp.maximum(existing[dup_idx], 0)          # [P]
+    new_d = lm_ids[dup_idx]
+    _, _, ok_ex = ms.observer_entries(m, ex_d, dup_ok)
+    _, _, ok_new = ms.observer_entries(m, new_d, dup_ok)
+    keep_existing = jnp.sum(ok_ex, axis=1) >= jnp.sum(ok_new, axis=1)
+    loser = jnp.where(dup_ok, jnp.where(keep_existing, new_d, ex_d), L)
+    winner = jnp.where(dup_ok, jnp.where(keep_existing, ex_d, new_d), L)
     redirect = jnp.arange(L + 1, dtype=jnp.int32).at[loser].set(winner)[:L + 1]
     redirect = redirect.at[L].set(-1)
 
@@ -99,7 +109,39 @@ def fuse_landmarks(m: ms.MapState, slot: jnp.ndarray,
     kf_lm = m.kf_lm.at[slot].set(new_row)
     kf_lm = redirect[jnp.where(kf_lm >= 0, kf_lm, L)]
 
-    return m._replace(kf_lm=kf_lm, lm_valid=lm_valid)
+    m = m._replace(kf_lm=kf_lm, lm_valid=lm_valid)
+
+    # --- observer-index maintenance (r5) ---
+    # bind case: the new (slot, feature) bindings
+    m = ms.append_observations(
+        m, jnp.where(bind, lm_ids, 0),
+        jnp.where(bind, pm.target_idx, 0), slot, bind)
+    # merge case: the loser's surviving observer entries now bind the
+    # winner (via the kf_lm redirect) but live only in the loser's list —
+    # copy them into the winner's ring so covisibility stays exact.
+    # Bounded to the P merge pairs per fuse round (typical: dozens).
+    losers = loser
+    winners = winner
+    O = m.lm_obs_kf.shape[1]
+    okf_pad = jnp.concatenate([m.lm_obs_kf, jnp.full((1, O), -1, jnp.int32)])
+    ofe_pad = jnp.concatenate([m.lm_obs_feat, jnp.zeros((1, O), jnp.int32)])
+    ptr_pad = jnp.concatenate([m.lm_obs_ptr, jnp.zeros((1,), jnp.int32)])
+    lokf = okf_pad[jnp.where(dup_ok, losers, L)]          # [P,O]
+    lofe = ofe_pad[jnp.where(dup_ok, losers, L)]
+    kfs = jnp.maximum(lokf, 0)
+    ent_ok = (lokf >= 0) & m.kf_valid[kfs] \
+        & (kf_lm[kfs, lofe] == winners[:, None])
+    off = jnp.cumsum(ent_ok.astype(jnp.int32), axis=1) - 1
+    wptr = ptr_pad[winners]
+    pos = (wptr[:, None] + off) % O
+    tgt_w = jnp.where(ent_ok, winners[:, None], L)
+    okf_new = okf_pad.at[tgt_w, pos].set(
+        jnp.where(ent_ok, lokf, -1))[:L]
+    ofe_new = ofe_pad.at[tgt_w, pos].set(lofe)[:L]
+    ptr_new = ptr_pad.at[winners].add(
+        jnp.sum(ent_ok.astype(jnp.int32), axis=1))[:L]
+    return m._replace(lm_obs_kf=okf_new, lm_obs_feat=ofe_new,
+                      lm_obs_ptr=ptr_new)
 
 
 # ------------------------------------------------------------- local BA
@@ -118,7 +160,7 @@ def build_window(m: ms.MapState, slot: jnp.ndarray, cfg: SystemConfig):
     K = m.kf_valid.shape[0]
     n_win = cfg.ba.max_window_cams
     n_fix = cfg.ba.max_fixed_cams
-    w_row = jnp.where(m.kf_valid, ms.covis_row(m, slot), -1)
+    w_row = jnp.where(m.kf_valid, ms.covis_row_fast(m, slot), -1)
     w_row = w_row.at[slot].set(-1)
 
     win_vals, win_idx = jax.lax.top_k(w_row, min(n_win - 1, K))
@@ -145,7 +187,7 @@ def build_window(m: ms.MapState, slot: jnp.ndarray, cfg: SystemConfig):
     in_win = jnp.zeros((K + 1,), bool).at[
         jnp.where(valid_w, cam_slots_w, K)
     ].set(True)[:K]
-    W_win = ms.covis_rows(m, cam_slots_w)            # [n_win, K]
+    W_win = ms.covis_rows_fast(m, cam_slots_w)       # [n_win, K]
     anchor_score = jnp.where(
         m.kf_valid & ~in_win,
         jnp.max(W_win * valid_w[:, None], axis=0),
@@ -314,6 +356,16 @@ def empty_cull_info() -> ms.CullInfo:
     )
 
 
+def empty_cull_info_single() -> ms.CullInfo:
+    """Scalar CullInfo placeholder (one no-op culling round)."""
+    return ms.CullInfo(
+        culled=jnp.asarray(False),
+        kf_id=jnp.int32(-1),
+        parent_kf_id=jnp.int32(-1),
+        T_cp=jnp.eye(4),
+    )
+
+
 def map_keyframe_body(m: ms.MapState, slot: jnp.ndarray,
                       kf_id: jnp.ndarray, cfg: SystemConfig):
     """The WHOLE per-keyframe refinement sequence as pure traced code:
@@ -327,12 +379,16 @@ def map_keyframe_body(m: ms.MapState, slot: jnp.ndarray,
 
     Returns (map', CullInfo with leading axis 3 — the per-round culled-KF
     parent-chain records, `culled` False on no-op rounds)."""
-    L = m.lm_pos.shape[0]
-    touched = jnp.zeros((L + 1,), bool).at[
-        jnp.where(m.kf_lm[slot] >= 0, m.kf_lm[slot], L)
-    ].set(True)[:L]
-    m = ms.refresh_landmark_descriptors(m, touched)
-    m = ms.landmark_culling(m, kf_id, cfg)
+    row = m.kf_lm[slot]
+    m = ms.refresh_landmark_descriptors_ids(
+        m, jnp.maximum(row, 0), (row >= 0) & m.kf_kp_valid[slot])
+    if cfg.map.lm_cull_every <= 1:
+        m = ms.landmark_culling(m, kf_id, cfg)
+    else:
+        m = jax.lax.cond(
+            kf_id % cfg.map.lm_cull_every == 0,
+            lambda mm: ms.landmark_culling(mm, kf_id, cfg),
+            lambda mm: mm, m)
     m = fuse_landmarks(m, slot, cfg)
     if cfg.map.refresh_positions:
         m = ms.refresh_landmark_positions(m, cfg)
@@ -350,10 +406,26 @@ def map_keyframe_body(m: ms.MapState, slot: jnp.ndarray,
             jnp.sum(m.kf_valid.astype(jnp.int32)) > 2,
             do_lba, lambda mm: mm, m)
     infos = []
+    rounds = max(cfg.map.kf_cull_rounds, 1)
+    gate = (kf_id % cfg.map.kf_cull_every == 0) \
+        if cfg.map.kf_cull_every > 1 else None
     for _ in range(3):
         # each call culls at most one victim and no-ops when none
-        # remain — 3 unconditional rounds == the host loop's <=3
-        m, cull = ms.keyframe_culling(m, slot, cfg)
+        # remain — `rounds` unconditional rounds == the host loop's cap.
+        # CullInfo stays a [3] record for a stable scan-output shape.
+        if len(infos) < rounds:
+            if gate is None:
+                m, cull = ms.keyframe_culling(m, slot, cfg)
+            else:
+                def do_cull(mm):
+                    return ms.keyframe_culling(mm, slot, cfg)
+
+                def skip_cull(mm):
+                    return mm, empty_cull_info_single()
+
+                m, cull = jax.lax.cond(gate, do_cull, skip_cull, m)
+        else:
+            cull = empty_cull_info_single()
         infos.append(cull)
     return m, jax.tree.map(lambda *xs: jnp.stack(xs), *infos)
 
@@ -396,14 +468,13 @@ class LocalMapping:
         slot_j = jnp.int32(slot)
 
         # 1. distinctive descriptors for landmarks touched by this KF
-        L = m.lm_pos.shape[0]
-        touched = jnp.zeros((L + 1,), bool).at[
-            jnp.where(m.kf_lm[slot_j] >= 0, m.kf_lm[slot_j], L)
-        ].set(True)[:L]
-        m = ms.refresh_landmark_descriptors(m, touched)
+        row = m.kf_lm[slot_j]
+        m = ms.refresh_landmark_descriptors_ids(
+            m, jnp.maximum(row, 0), (row >= 0) & m.kf_kp_valid[slot_j])
 
-        # 2. landmark culling
-        m = ms.landmark_culling(m, jnp.int32(kf_id), cfg)
+        # 2. landmark culling (on the configured cadence)
+        if kf_id % max(cfg.map.lm_cull_every, 1) == 0:
+            m = ms.landmark_culling(m, jnp.int32(kf_id), cfg)
 
         # 3. fuse duplicates with covisible neighbors
         m = fuse_landmarks(m, slot_j, cfg)
@@ -426,8 +497,10 @@ class LocalMapping:
         # 5. keyframe culling (scalar readbacks at KF rate, not frame rate).
         # The device kernel removes one victim per call; the reference's
         # pass can erase several redundant KFs (localmapping.cpp:196-238),
-        # so loop until no victim remains, bounded to 3 per insertion.
-        for _ in range(3):
+        # so loop until no victim remains, bounded per insertion.
+        rounds = (max(cfg.map.kf_cull_rounds, 1)
+                  if kf_id % max(cfg.map.kf_cull_every, 1) == 0 else 0)
+        for _ in range(rounds):
             m, cull = ms.keyframe_culling(m, slot_j, cfg)
             if not bool(cull.culled):
                 break

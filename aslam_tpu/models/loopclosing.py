@@ -155,7 +155,7 @@ def query_candidates(
     cand_groups [N,K] bool covisibility groups for the consistency gate)
     where N = cfg.loop.top_candidates, best first."""
     K = m.kf_valid.shape[0]
-    row_q = ms.covis_row(m, slot)
+    row_q = ms.covis_row_fast(m, slot)
     eligible = (
         db.kf_in_db & m.kf_valid
         & (row_q == 0)                              # exclude covisible
@@ -181,7 +181,7 @@ def query_candidates(
     # covisibility groups of each sharing KF).
     n_acc = min(32, K)
     b_vals, b_idx = jax.lax.top_k(jnp.where(ok, scores, -1.0), n_acc)
-    rows = ms.covis_rows(m, b_idx)                  # [n_acc, K]
+    rows = ms.covis_rows_fast(m, b_idx)                  # [n_acc, K]
     acc_sel = b_vals + jnp.sum((rows > 0) * base[None, :], axis=1)
     # found = slot held an `ok` candidate (ok scores are >= min_score >= 0;
     # padding is -1).  `>= 0`, not `> 0`: a score of exactly 0 is a legal
@@ -197,7 +197,7 @@ def query_candidates(
     cand_slots = jnp.where(found, top_idx, -1).astype(jnp.int32)
     # covisibility group of each candidate: itself + covisible KFs (the
     # ConsistentGroup's spKeyFrames set, loopclosing.h:16-22)
-    grp = (ms.covis_rows(m, top_idx) > 0) | (
+    grp = (ms.covis_rows_fast(m, top_idx) > 0) | (
         jnp.arange(K)[None, :] == top_idx[:, None]
     )
     grp = grp & found[:, None] & m.kf_valid[None, :]

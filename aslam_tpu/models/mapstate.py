@@ -55,6 +55,20 @@ class MapState(NamedTuple):
     lm_first_kf: jnp.ndarray # [L] int32 kf_id at creation
     lm_visible: jnp.ndarray  # [L] int32 frustum-visible count
     lm_found: jnp.ndarray    # [L] int32 tracked-inlier count
+    # landmark -> observer reverse index (r5): up to O (kf_slot, feat_idx)
+    # pairs per landmark, appended at binding time, ring-overwritten past O.
+    # Entries are SELF-INVALIDATING — an entry counts only while
+    # kf_valid[kf] & (kf_lm[kf, feat] == l) still holds — so culls, fuse
+    # redirects, LBA observation prunes, and slot reuse never need to
+    # touch the lists.  Motivation: a [K,M]-wide gather/scatter costs
+    # ~8 ns/element on TPU (≈5 ms per query at 1024x512); covisibility
+    # votes walk ids->observers in O(N*O) instead (docs/PERF.md r5).
+    # (defaults None so geometry-only constructions — e.g. the sharded
+    # GN-CG local views — need not carry them; every engine path built
+    # via init_map has real arrays)
+    lm_obs_kf: jnp.ndarray = None   # [L,O] int32 KF slot (-1 = empty)
+    lm_obs_feat: jnp.ndarray = None # [L,O] int32 feature index
+    lm_obs_ptr: jnp.ndarray = None  # [L] int32 ring write cursor
 
 
 def init_map(cfg: SystemConfig) -> MapState:
@@ -78,6 +92,9 @@ def init_map(cfg: SystemConfig) -> MapState:
         lm_first_kf=jnp.full((L,), -1, jnp.int32),
         lm_visible=jnp.zeros(L, jnp.int32),
         lm_found=jnp.zeros(L, jnp.int32),
+        lm_obs_kf=jnp.full((L, cfg.map.max_obs_per_lm), -1, jnp.int32),
+        lm_obs_feat=jnp.zeros((L, cfg.map.max_obs_per_lm), jnp.int32),
+        lm_obs_ptr=jnp.zeros((L,), jnp.int32),
     )
 
 
@@ -139,6 +156,120 @@ def kf_votes(m: MapState, lm_mask: jnp.ndarray) -> jnp.ndarray:
     # kf_lm == -1 wraps to index L (the padding row) under JAX semantics
     hit = pad[m.kf_lm] & m.kf_kp_valid & m.kf_valid[:, None]
     return jnp.sum(hit, axis=1, dtype=jnp.int32)
+
+
+def append_observations(m: MapState, lm_ids: jnp.ndarray,
+                        feat_idx: jnp.ndarray, slot: jnp.ndarray,
+                        mask: jnp.ndarray) -> MapState:
+    """Record (slot, feat_idx[i]) as an observer of landmark lm_ids[i] for
+    every masked i (ring append into lm_obs_*).  Caller contract: each
+    (kf, feat) binding is appended exactly ONCE over its lifetime, and
+    lm_ids contains no duplicates among masked entries (one landmark binds
+    at most one feature of a frame)."""
+    L, O = m.lm_obs_kf.shape
+    tgt = jnp.where(mask, lm_ids, L)
+    ptr_pad = jnp.concatenate([m.lm_obs_ptr, jnp.zeros((1,), jnp.int32)])
+    pos = ptr_pad[tgt] % O
+    okf = jnp.concatenate(
+        [m.lm_obs_kf, jnp.zeros((1, O), jnp.int32)]
+    ).at[tgt, pos].set(
+        jnp.where(mask, slot, -1).astype(jnp.int32))[:L]
+    ofe = jnp.concatenate(
+        [m.lm_obs_feat, jnp.zeros((1, O), jnp.int32)]
+    ).at[tgt, pos].set(feat_idx.astype(jnp.int32))[:L]
+    ptr = ptr_pad.at[tgt].add(jnp.where(mask, 1, 0))[:L]
+    return m._replace(lm_obs_kf=okf, lm_obs_feat=ofe, lm_obs_ptr=ptr)
+
+
+def rebuild_observer_index(m: MapState) -> MapState:
+    """Recompute lm_obs_* from kf_lm (the source of truth) — for maps
+    assembled by hand (tests, external builders, pre-r5 checkpoints).
+    Host-side; oldest KF first so the ring keeps the newest observers."""
+    import numpy as np
+
+    kf_lm = np.asarray(m.kf_lm)
+    kf_valid = np.asarray(m.kf_valid)
+    kf_kp_valid = np.asarray(m.kf_kp_valid)
+    kf_id = np.asarray(m.kf_id)
+    L, O = m.lm_obs_kf.shape
+    okf = np.full((L, O), -1, np.int32)
+    ofe = np.zeros((L, O), np.int32)
+    ptr = np.zeros(L, np.int32)
+    for k in np.argsort(kf_id):
+        if not kf_valid[k]:
+            continue
+        feats = np.nonzero((kf_lm[k] >= 0) & kf_kp_valid[k])[0]
+        ls = kf_lm[k][feats]
+        pos = ptr[ls] % O
+        okf[ls, pos] = k
+        ofe[ls, pos] = feats
+        ptr[ls] += 1
+    return m._replace(lm_obs_kf=jnp.asarray(okf),
+                      lm_obs_feat=jnp.asarray(ofe),
+                      lm_obs_ptr=jnp.asarray(ptr))
+
+
+def observer_entries(m: MapState, lm_ids: jnp.ndarray,
+                     valid: jnp.ndarray):
+    """Resolve the observer lists of `lm_ids` ([N]) against the current
+    bindings.  Returns (obs_kf [N,O] int32, obs_feat [N,O], ok [N,O] bool)
+    where ok marks entries that still hold (self-invalidation check:
+    kf alive and kf_lm[kf, feat] == l)."""
+    L, O = m.lm_obs_kf.shape
+    safe = jnp.where(valid, lm_ids, L)
+    okf = jnp.concatenate(
+        [m.lm_obs_kf, jnp.full((1, O), -1, jnp.int32)])[safe]   # [N,O]
+    ofe = jnp.concatenate(
+        [m.lm_obs_feat, jnp.zeros((1, O), jnp.int32)])[safe]
+    kf_s = jnp.maximum(okf, 0)
+    bound = m.kf_lm[kf_s, ofe]                                  # [N,O]
+    ok = (okf >= 0) & m.kf_valid[kf_s] & (bound == lm_ids[:, None]) \
+        & valid[:, None]
+    return okf, ofe, ok
+
+
+def kf_votes_of_ids(m: MapState, lm_ids: jnp.ndarray,
+                    valid: jnp.ndarray) -> jnp.ndarray:
+    """[K] int32: per-KF count of observed landmarks among `lm_ids` — the
+    O(N*O) observer-list replacement for `kf_votes` when the landmark set
+    is available as an id list (N <= a frame's keypoint budget).  Exact up
+    to observer-ring overflow (max_obs_per_lm)."""
+    K = m.kf_valid.shape[0]
+    okf, _, ok = observer_entries(m, lm_ids, valid)
+    votes = jnp.zeros((K + 1,), jnp.int32).at[
+        jnp.where(ok, okf, K)
+    ].add(1)[:K]
+    return votes * m.kf_valid
+
+
+def covis_row_fast(m: MapState, slot: jnp.ndarray) -> jnp.ndarray:
+    """[K] int32 covisibility row of KF `slot` via the observer index:
+    O(M*O) instead of the O(K*M) gather of `covis_row`.  Exact up to
+    observer-ring overflow."""
+    row = m.kf_lm[slot]
+    ok = m.kf_kp_valid[slot] & (row >= 0)
+    safe = jnp.maximum(row, 0)
+    ok = ok & m.lm_valid[safe]
+    votes = kf_votes_of_ids(m, safe, ok) * m.kf_valid[slot]
+    return votes.at[slot].set(0)
+
+
+def covis_rows_fast(m: MapState, slots: jnp.ndarray) -> jnp.ndarray:
+    """[S,K] int32 covisibility rows via the observer index (vmapped)."""
+    return jax.vmap(lambda s: covis_row_fast(m, s))(slots)
+
+
+def landmark_mask_of_slots(m: MapState, slots: jnp.ndarray,
+                           slot_valid: jnp.ndarray) -> jnp.ndarray:
+    """[L] bool: landmarks observed by the given KF slots — gathers only
+    those rows ([S,M]) instead of scattering the whole [K,M] table
+    (landmark_mask_of_kfs)."""
+    L = m.lm_pos.shape[0]
+    rows = m.kf_lm[slots]                                        # [S,M]
+    ok = m.kf_kp_valid[slots] & (rows >= 0) \
+        & (slot_valid & m.kf_valid[slots])[:, None]
+    flat = jnp.where(ok, rows, L).reshape(-1)
+    return jnp.zeros((L + 1,), bool).at[flat].set(True)[:L] & m.lm_valid
 
 
 def covis_row(m: MapState, slot: jnp.ndarray) -> jnp.ndarray:
@@ -223,6 +354,10 @@ def insert_keyframe(
 ) -> MapState:
     """Write a frame into keyframe row `slot` (LocalMapping::InsertKeyFrame
     + ProcessNewKeyFrame association, localmapping.cpp:85-107)."""
+    M = lm_assoc.shape[0]
+    m = append_observations(
+        m, jnp.maximum(lm_assoc, 0), jnp.arange(M, dtype=jnp.int32),
+        slot, lm_assoc >= 0)
     return m._replace(
         kf_T_cw=m.kf_T_cw.at[slot].set(frame.T_cw),
         kf_valid=m.kf_valid.at[slot].set(True),
@@ -297,6 +432,14 @@ def create_landmarks(
         .at[tgt].set(0)[:L]
     lm_found = jnp.concatenate([m.lm_found, jnp.zeros((1,), jnp.int32)]) \
         .at[tgt].set(0)[:L]
+    # ... nor its observer list
+    O = m.lm_obs_kf.shape[1]
+    lm_obs_kf = jnp.concatenate(
+        [m.lm_obs_kf, jnp.zeros((1, O), jnp.int32)]
+    ).at[tgt].set(-1)[:L]
+    lm_obs_ptr = jnp.concatenate(
+        [m.lm_obs_ptr, jnp.zeros((1,), jnp.int32)]
+    ).at[tgt].set(0)[:L]
 
     # bind features: feature chosen[r] -> new_ids[r]
     feat_tgt = jnp.where(is_new, chosen, M)
@@ -306,8 +449,14 @@ def create_landmarks(
     m = m._replace(
         lm_pos=lm_pos, lm_desc=lm_desc, lm_valid=lm_valid,
         lm_first_kf=lm_first, lm_visible=lm_visible, lm_found=lm_found,
+        lm_obs_kf=lm_obs_kf, lm_obs_ptr=lm_obs_ptr,
         kf_lm=m.kf_lm.at[slot].set(assoc),
     )
+    # record the new bindings in the observer index (the carried-assoc
+    # bindings were recorded by insert_keyframe)
+    m = append_observations(
+        m, jnp.where(is_new, new_ids, 0), chosen.astype(jnp.int32),
+        slot, is_new)
     return m, assoc, n_created
 
 
@@ -360,34 +509,48 @@ def keyframe_culling(m: MapState, current_slot: jnp.ndarray,
     >95% of its close landmarks are observed >= 3 times elsewhere.
 
     Returns (map, CullInfo) — the CullInfo is the victim's parent-chain
-    record the host appends to its culled-KF registry."""
+    record the host appends to its culled-KF registry.
+
+    r5: only the current KF's COVISIBLE neighbors are scored — exactly the
+    reference's scan set (localmapping.cpp:198 iterates
+    GetVectorCovisibleKeyFrames of the current KF), and it keeps the
+    per-call work O(N*M) instead of [K,M]-wide gathers."""
     obs = observation_counts(m)                       # [L]
     L = m.lm_pos.shape[0]
-    ids = jnp.where(m.kf_kp_valid, m.kf_lm, -1)
+    K = m.kf_valid.shape[0]
+    N = min(cfg.map.kf_cull_candidates, K)
+    w_row = covis_row_fast(m, current_slot)
+    # never cull the first or the current KF
+    cand_rank = jnp.where(m.kf_valid, w_row, -1) \
+        .at[0].set(-1).at[current_slot].set(-1)
+    cand_vals, cand_idx = jax.lax.top_k(cand_rank, N)
+    cand_ok = cand_vals > 0
+
+    rows = m.kf_lm[cand_idx]                          # [N,M]
+    kp_ok = m.kf_kp_valid[cand_idx]
+    z = m.kf_z[cand_idx]
+    ids = jnp.where(kp_ok, rows, -1)
     has_lm = ids >= 0
-    close = has_lm & (m.kf_z > 0) & (m.kf_z < cfg.camera.th_depth)
+    close = has_lm & (z > 0) & (z < cfg.camera.th_depth)
     lm_obs = jnp.concatenate([obs, jnp.zeros((1,), jnp.int32)])[
         jnp.where(ids >= 0, ids, L)
     ]
     redundant_obs = close & (lm_obs >= 4)  # seen >=3 times elsewhere
     n_close = jnp.sum(close, axis=1)
     n_red = jnp.sum(redundant_obs, axis=1)
-    redundant_kf = (
-        m.kf_valid
+    redundant_cand = (
+        cand_ok
         & (n_close > 0)
         & (n_red > cfg.map.kf_cull_redundancy * n_close)
     )
-    # never cull the first or the current KF
-    redundant_kf = redundant_kf.at[0].set(False)
-    redundant_kf = redundant_kf.at[current_slot].set(False)
     # cull at most one KF per call (mirrors incremental behavior, keeps
     # the map stable)
-    first = jnp.argmax(redundant_kf)
-    do = jnp.any(redundant_kf)
+    first = cand_idx[jnp.argmax(redundant_cand)]
+    do = jnp.any(redundant_cand)
 
     # parent = surviving KF most covisible with the victim (computed while
     # the victim is still valid so its covisibility row exists)
-    w_row = covis_row(m, first)
+    w_row = covis_row_fast(m, first)
     parent_rank = jnp.where(m.kf_valid, w_row, -1).at[first].set(-1)
     parent = jnp.argmax(parent_rank)
     T_cp = m.kf_T_cw[first] @ T_inv(m.kf_T_cw[parent])
@@ -467,6 +630,35 @@ def refresh_landmark_positions(m: MapState, cfg: SystemConfig) -> MapState:
 
 
 # ---------------------------------------------------------------- descriptors
+
+@functools.partial(jax.jit, donate_argnames=("m",))
+def refresh_landmark_descriptors_ids(m: MapState, lm_ids: jnp.ndarray,
+                                     valid: jnp.ndarray) -> MapState:
+    """Distinctive-descriptor (medoid) refresh for an ID LIST of landmarks
+    (e.g. the ones a new keyframe touches) via the observer reverse index:
+    O(N * max_obs_per_lm) — replaces the full-table sort-and-scatter of
+    `refresh_landmark_descriptors` on the per-keyframe hot path
+    (landmark.cpp:219-273 semantics, r5)."""
+    L = m.lm_pos.shape[0]
+    okf, ofe, ok = observer_entries(m, lm_ids, valid)      # [N,O]
+    desc = m.kf_desc[jnp.maximum(okf, 0), ofe]             # [N,O,8]
+
+    def medoid(desc_set, cnt, fallback):
+        d = hamming.distance_matrix_popcount(desc_set, desc_set)
+        d = jnp.where(cnt[None, :], d, 0.0)
+        total = jnp.where(cnt, jnp.sum(d, axis=1), jnp.inf)
+        best = jnp.argmin(total)
+        return jnp.where(jnp.any(cnt), desc_set[best], fallback)
+
+    fallback = m.lm_desc[jnp.maximum(lm_ids, 0)]
+    new_desc = jax.vmap(medoid)(desc, ok, fallback)
+    w_ok = valid & m.lm_valid[jnp.maximum(lm_ids, 0)]
+    tgt = jnp.where(w_ok, lm_ids, L)
+    lm_desc = jnp.concatenate(
+        [m.lm_desc, jnp.zeros((1, 8), jnp.uint32)]
+    ).at[tgt].set(new_desc)[:L]
+    return m._replace(lm_desc=lm_desc)
+
 
 @functools.partial(jax.jit, static_argnames=("max_obs",), donate_argnames=("m",))
 def refresh_landmark_descriptors(m: MapState, lm_mask: jnp.ndarray,

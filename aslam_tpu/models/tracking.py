@@ -79,11 +79,12 @@ def track_local_map(
 
     # 1. covisibility vote: KFs sharing landmarks with the current frame
     #    (tracking.cpp:263-307), local map capped at local_map_max_kfs.
-    #    One [K,M] gather (ms.kf_votes) — no [K,L] incidence at any scale.
-    cur_mask = jnp.zeros((L + 1,), bool).at[
-        jnp.where(assoc >= 0, assoc, L)
-    ].set(True)[:L]
-    votes = ms.kf_votes(m, cur_mask).astype(jnp.float32)
+    #    The frame's bound landmarks walk the observer reverse index —
+    #    O(M * max_obs_per_lm), no [K,M]-wide gather (docs/PERF.md r5).
+    a_ok = assoc >= 0
+    a_ids = jnp.maximum(assoc, 0)
+    a_ok = a_ok & m.lm_valid[a_ids]
+    votes = ms.kf_votes_of_ids(m, a_ids, a_ok).astype(jnp.float32)
     kf_rank = jnp.where(m.kf_valid & (votes > 0), votes, -1.0)
     k_cap = min(cfg.tracking.local_map_max_kfs, K)
     top_vals, top_idx = jax.lax.top_k(kf_rank, k_cap)
@@ -93,17 +94,16 @@ def track_local_map(
     #     reference extends the voted set with each member's best
     #     neighbors/children/parent before the cap-80 truncation.  Here:
     #     non-voted KFs ranked by their strongest covisibility link into
-    #     the voted set fill the remaining cap slots (voted KFs keep
-    #     priority via a large rank offset).  In the sparse-association
-    #     (WEAK) regime this is what feeds the projection search with the
-    #     landmarks just outside the directly-voted neighborhood.
+    #     the TOP-voted members fill the remaining cap slots (voted KFs
+    #     keep priority via a large rank offset).  r5: the link score is
+    #     max over the top-8 voted members' covisibility rows (observer
+    #     index) — the reference's per-member best-neighbor walk — instead
+    #     of the union-overlap count, whose [K,M] gather cost ~5 ms/frame.
     if cfg.tracking.local_map_expand:
-        # ranked by shared-landmark count with the UNION of the voted set's
-        # landmarks (one scatter + one gather; the reference ranks by best
-        # per-member edge — union overlap is the array-native equivalent
-        # and also measures affinity to the whole local map)
-        voted_lms = ms.landmark_mask_of_kfs(m, local_kf)
-        link = ms.kf_votes(m, voted_lms)
+        n_seed = min(8, k_cap)
+        seed_rows = ms.covis_rows_fast(m, top_idx[:n_seed])   # [S,K]
+        seed_ok = (top_vals[:n_seed] > 0)[:, None]
+        link = jnp.max(jnp.where(seed_ok, seed_rows, 0), axis=0)
         exp_rank = jnp.where(
             m.kf_valid & ~local_kf & (link > 0), link.astype(votes.dtype),
             -1.0,
@@ -112,8 +112,9 @@ def track_local_map(
         top_vals, top_idx = jax.lax.top_k(combined, k_cap)
         local_kf = jnp.zeros((K,), bool).at[top_idx].set(top_vals > 0)
 
-    # 2. local landmarks: seen by local KFs, not already bound
-    local_lm = ms.landmark_mask_of_kfs(m, local_kf)      # [L]
+    # 2. local landmarks: seen by local KFs, not already bound — gather
+    #    only the local rows ([k_cap, M]), not the whole table
+    local_lm = ms.landmark_mask_of_slots(m, top_idx, top_vals > 0)
     bound = jnp.zeros((L + 1,), bool).at[
         jnp.where(assoc >= 0, assoc, L)
     ].set(True)[:L]

@@ -21,7 +21,8 @@ _META_SUFFIX = ".meta.json"
 
 
 def save_map(path: str, m: MapState, counters: dict | None = None) -> None:
-    arrays = {f: np.asarray(getattr(m, f)) for f in m._fields}
+    arrays = {f: np.asarray(getattr(m, f)) for f in m._fields
+              if getattr(m, f) is not None}
     np.savez_compressed(path, **arrays)
     with open(path + _META_SUFFIX, "w") as f:
         json.dump(counters or {}, f)
@@ -31,7 +32,32 @@ def load_map(path: str) -> tuple[MapState, dict]:
     if not path.endswith(".npz"):
         path = path + ".npz"
     data = np.load(path)
-    m = MapState(**{f: jnp.asarray(data[f]) for f in MapState._fields})
+    fields = {f: jnp.asarray(data[f]) for f in MapState._fields if f in data}
+    # pre-r5 checkpoints lack the observer reverse index — rebuild it from
+    # kf_lm (the source of truth) host-side, oldest KF first so the ring
+    # keeps the newest observers on overflow
+    if "lm_obs_kf" not in fields:
+        kf_lm = np.asarray(data["kf_lm"])
+        kf_valid = np.asarray(data["kf_valid"])
+        kf_id = np.asarray(data["kf_id"])
+        L = int(np.asarray(data["lm_pos"]).shape[0])
+        O = 16
+        okf = np.full((L, O), -1, np.int32)
+        ofe = np.zeros((L, O), np.int32)
+        ptr = np.zeros(L, np.int32)
+        for k in np.argsort(kf_id):
+            if not kf_valid[k]:
+                continue
+            feats = np.nonzero(kf_lm[k] >= 0)[0]
+            ls = kf_lm[k][feats]
+            pos = ptr[ls] % O
+            okf[ls, pos] = k
+            ofe[ls, pos] = feats
+            ptr[ls] += 1
+        fields["lm_obs_kf"] = jnp.asarray(okf)
+        fields["lm_obs_feat"] = jnp.asarray(ofe)
+        fields["lm_obs_ptr"] = jnp.asarray(ptr)
+    m = MapState(**fields)
     meta_path = path.removesuffix(".npz") + ".npz" + _META_SUFFIX
     counters = {}
     for candidate in (path + _META_SUFFIX, meta_path,

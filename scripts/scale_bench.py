@@ -77,8 +77,28 @@ def build_corridor_map(cfg, n_kfs: int, n_feats: int, seed: int = 0):
         lm_first_kf=jnp.zeros(L, jnp.int32),
         lm_visible=jnp.ones(L, jnp.int32),
         lm_found=jnp.ones(L, jnp.int32),
+        **_observer_index(base, valid, L, n_kfs),
     )
     return m, T, lm_pos
+
+
+def _observer_index(base, valid, L, n_kfs, O=16):
+    """Vectorized observer reverse index for the banded corridor map."""
+    import jax.numpy as jnp
+
+    okf = np.full((L, O), -1, np.int32)
+    ofe = np.zeros((L, O), np.int32)
+    ptr = np.zeros(L, np.int32)
+    feats = np.arange(base.shape[1], dtype=np.int32)
+    for k in range(n_kfs):
+        ls = base[k][valid[k]]
+        fs = feats[valid[k]]
+        pos = ptr[ls] % O
+        okf[ls, pos] = k
+        ofe[ls, pos] = fs
+        ptr[ls] += 1
+    return dict(lm_obs_kf=jnp.asarray(okf), lm_obs_feat=jnp.asarray(ofe),
+                lm_obs_ptr=jnp.asarray(ptr))
 
 
 def main():

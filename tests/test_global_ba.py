@@ -56,6 +56,7 @@ def build_noisy_map(rng, n_kfs=8, n_pts=200, pose_noise=0.02, pt_noise=0.02,
         lm_pos=m.lm_pos.at[:n_pts].set(jnp.asarray(pts_noisy)),
         lm_valid=m.lm_valid.at[:n_pts].set(True),
     )
+    m = ms.rebuild_observer_index(m)
     return cfg, m, T_true, pts_true, n_kfs, n_pts
 
 

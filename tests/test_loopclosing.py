@@ -110,6 +110,7 @@ def build_looped_map(rng, n_kfs=20, drift_per_step=0.008):
             kf_kp_valid=m.kf_kp_valid.at[k].set(jnp.asarray(kp_valid)),
             kf_lm=m.kf_lm.at[k].set(jnp.asarray(assoc)),
         )
+    m = ms.rebuild_observer_index(m)
     return cfg, m, T_true, T_est, drift_final, n_kfs
 
 

@@ -113,7 +113,7 @@ def _random_map(cfg, k_used=12, n_lm=300, seed=0):
         kp_valid[k, feats] = True
     # an invalid-keypoint binding that must be ignored everywhere
     kf_lm[0, np.nonzero(~kp_valid[0])[0][0]] = 7
-    return m._replace(
+    m = m._replace(
         kf_valid=jnp.asarray(kf_valid),
         kf_lm=jnp.asarray(kf_lm),
         kf_kp_valid=jnp.asarray(kp_valid),
@@ -121,6 +121,7 @@ def _random_map(cfg, k_used=12, n_lm=300, seed=0):
         kf_id=jnp.asarray(
             np.where(kf_valid, np.arange(K), -1).astype(np.int32)),
     )
+    return ms.rebuild_observer_index(m)
 
 
 def test_scale_primitives_match_dense():

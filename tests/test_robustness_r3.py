@@ -229,6 +229,7 @@ def _corridor_map_and_frame(cfg, rng):
             kf_kp_valid=m.kf_kp_valid.at[k].set(jnp.asarray(kp_valid)),
             kf_lm=m.kf_lm.at[k].set(jnp.asarray(assoc)),
         )
+    m = ms.rebuild_observer_index(m)
 
     # test frame: at KF 3's pose; features = projections of every landmark
     # of KFs 2..5 (all physically visible); associations = 15 of KF 3's

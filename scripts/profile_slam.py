@@ -162,10 +162,9 @@ def main(argv=None):
     Lb = m0.lm_pos.shape[0]
 
     def desc(m):
-        touched = jnp.zeros((Lb + 1,), bool).at[
-            jnp.where(m.kf_lm[slot_j] >= 0, m.kf_lm[slot_j], Lb)
-        ].set(True)[:Lb]
-        return ms.refresh_landmark_descriptors(m, touched)
+        row = m.kf_lm[slot_j]
+        return ms.refresh_landmark_descriptors_ids(
+            m, jnp.maximum(row, 0), (row >= 0) & m.kf_kp_valid[slot_j])
     timed("desc", desc, m0, n)
 
     def lm_cull(m):
@@ -186,7 +185,8 @@ def main(argv=None):
         prob, lw_ids, _ = lm.build_problem(m, spec, cfg)
         chain = (lm.build_chain(m, spec, cfg)
                  if cfg.ba.chain_prior_weight > 0 else None)
-        prob, _ = lba_mod.local_ba(prob, cfg.camera, cfg.ba, chain=chain)
+        prob, _ = lba_mod.local_ba(prob, cfg.camera, cfg.ba, chain=chain,
+                                   group=m.kf_lm.shape[1])
         return lm.write_back(m, spec, prob, lw_ids, cfg)
     timed("lba", lba_stage, m0, n)
 

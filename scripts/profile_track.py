@@ -12,7 +12,11 @@ Usage: python scripts/profile_track.py [--iters 50]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -35,18 +35,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from scale_slam_bench import bounded_walk  # noqa: E402
 
 
-def run_session(cfg, seed: int, seqs: int, n_pf: int, chunk: int,
-                scene, cam):
-    import jax
+_RENDER_CACHE: dict = {}
 
-    from aslam_tpu.models.device_slam import DeviceSlam
+
+def render_session(seed: int, seqs: int, n_pf: int, scene, cam):
+    """Pre-render a seed's whole session ONCE (frames are independent of
+    the loop-closing config, so the 4-config ablation reuses them)."""
+    key = (seed, seqs, n_pf)
+    if key in _RENDER_CACHE:
+        return _RENDER_CACHE[key]
     from aslam_tpu.utils import synthetic_hard as sh
-    from aslam_tpu.utils import trajectory
 
     rng = np.random.default_rng(1000 + seed)
-    dev = DeviceSlam(cfg, seed=seed, sync_every=4 * chunk,
-                     ring=max(8 * chunk, 256))
-    gt_all = []
+    out = []
     frame_i = 0
     last_C = None
     last_fwd = None
@@ -66,7 +67,25 @@ def run_session(cfg, seed: int, seqs: int, n_pf: int, chunk: int,
                                     illum_gain=gain)
             imgs.append(img)
             deps.append(dep)
-        imgs, deps = np.stack(imgs), np.stack(deps)
+        out.append((np.stack(imgs), np.stack(deps), poses))
+        frame_i += n_pf
+    _RENDER_CACHE[key] = out
+    return out
+
+
+def run_session(cfg, seed: int, seqs: int, n_pf: int, chunk: int,
+                scene, cam):
+    import jax
+
+    from aslam_tpu.models.device_slam import DeviceSlam
+    from aslam_tpu.utils import trajectory
+
+    rendered = render_session(seed, seqs, n_pf, scene, cam)
+    dev = DeviceSlam(cfg, seed=seed, sync_every=4 * chunk,
+                     ring=max(8 * chunk, 256))
+    gt_all = []
+    frame_i = 0
+    for s, (imgs, deps, poses) in enumerate(rendered):
         i0 = 0
         if s > 0:
             dev.new_sequence(imgs[0], deps[0], t=frame_i * 0.033)

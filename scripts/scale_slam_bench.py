@@ -87,6 +87,9 @@ def main(argv=None):
                     help="device engine: frames between loop-closing "
                     "sync reads (default 8*chunk; each sync costs 1-2 "
                     "relay round-trips)")
+    ap.add_argument("--fast", action="store_true",
+                    help="speed-tuned mapping config: culling cadence 2, "
+                    "1 cull round, 3+5 LBA schedule")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
 
@@ -115,6 +118,14 @@ def main(argv=None):
         import dataclasses as _dc
 
         cfg = cfg.replace(loop=_dc.replace(cfg.loop, post_gba_iters=0))
+    if args.fast:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(
+            map=_dc.replace(cfg.map, lm_cull_every=2, kf_cull_every=2,
+                            kf_cull_rounds=1),
+            ba=_dc.replace(cfg.ba, local_iters_1=3, local_iters_2=5),
+        )
     print("devices:", jax.devices(), flush=True)
     print(f"capacity: K={args.kfs} L={L}", flush=True)
 

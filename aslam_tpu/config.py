@@ -319,6 +319,12 @@ class MapConfig:
     lm_cull_every: int = 1
     kf_cull_every: int = 1
     kf_cull_rounds: int = 3
+    # run the windowed local BA on every Nth keyframe insertion (1 =
+    # reference cadence).  The reference's mbAbortBA achieves the same
+    # effect implicitly under load: BA is interrupted whenever a new KF
+    # arrives, so a busy mapper refines every few KFs
+    # (localmapping.cpp:241-246,321)
+    lba_every: int = 1
     # windowed Schur local BA at each KF insertion (localmapping.cpp:45-48).
     # Off = tracking + landmark bookkeeping only (ablations; odometry-grade
     # maps where chain-local consistency matters more than reprojection

@@ -30,6 +30,7 @@ reference implementation; this module is the production path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -482,6 +483,98 @@ class DeviceSlam:
             else:  # no surviving ancestor: keep the frozen track-time pose
                 out.append(frozen[i])
         return np.stack(out)
+
+    def save(self, prefix: str) -> None:
+        """Checkpoint the FULL session mid-run: device state (map +
+        tracker carry), host-side trajectory buffers, culled-KF registry,
+        and the loop-closing vocabulary/database — enough for `resume` in
+        a fresh process to continue the session and still export the
+        complete corrected trajectory (SURVEY §5: the reference has no
+        persistence at all; config-5 runs need it)."""
+        self._background_mapping()
+        st = self.state
+        leaves = jax.tree_util.tree_leaves(st)
+        culled = self.culled_registry() if self.inline_mapping else {}
+        np.savez_compressed(
+            prefix + ".session.npz",
+            n_leaves=np.int64(len(leaves)),
+            **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+            poses=np.asarray(jnp.concatenate(self.pose_buf)),
+            stats=(np.asarray(jnp.concatenate(self.stats_buf))
+                   if self.stats_buf else np.zeros((0, 9), np.float32)),
+            ref_ids=np.asarray(jnp.concatenate(self.ref_id_buf)),
+            rels=np.asarray(jnp.concatenate(self.rel_pose_buf)),
+            ts=np.asarray(self.timestamps),
+            n_processed=np.int64(self.n_processed),
+            last_mapped_id=np.int64(self.last_mapped_id),
+            last_n_kfs=np.int64(self.last_n_kfs),
+            culled_ids=np.asarray(list(culled.keys()), np.int64),
+            culled_parents=np.asarray(
+                [v[0] for v in culled.values()], np.int64),
+            culled_T=(np.stack([v[1] for v in culled.values()])
+                      if culled else np.zeros((0, 4, 4), np.float32)),
+        )
+        if self.loop_closing is not None and self.loop_closing.vocab is not None:
+            from aslam_tpu.ops import bow
+
+            bow.save_vocabulary(prefix + ".vocab.npz",
+                                self.loop_closing.vocab)
+            db = self.loop_closing.db
+            np.savez_compressed(
+                prefix + ".loopdb.npz",
+                **{f: np.asarray(getattr(db, f)) for f in db._fields},
+                _n_loops=np.int64(len(self.loop_closing.loops)),
+                _last_loop_kf_id=np.int64(
+                    getattr(self.loop_closing, "last_loop_kf_id", -1) or -1),
+            )
+
+    @classmethod
+    def resume(cls, prefix: str, cfg: SystemConfig, **kwargs) -> "DeviceSlam":
+        """Rebuild a session from `save` output (fresh process OK)."""
+        dev = cls(cfg, **kwargs)
+        data = np.load(prefix + ".session.npz")
+        # template state defines the pytree structure; its leaves are
+        # replaced wholesale by the checkpointed ones
+        h, w = cfg.camera.height, cfg.camera.width
+        template = init_slam(
+            cfg, np.zeros((h, w), np.float32),
+            np.zeros((h, w), np.float32), ring=dev.ring)
+        treedef = jax.tree_util.tree_structure(template)
+        n = int(data["n_leaves"])
+        leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+        dev.state = jax.tree_util.tree_unflatten(treedef, leaves)
+        dev.pose_buf = [jnp.asarray(data["poses"])]
+        if len(data["stats"]):
+            dev.stats_buf = [jnp.asarray(data["stats"])]
+        dev.ref_id_buf = [jnp.asarray(data["ref_ids"])]
+        dev.rel_pose_buf = [jnp.asarray(data["rels"])]
+        dev.timestamps = list(np.asarray(data["ts"]))
+        dev.n_processed = int(data["n_processed"])
+        dev.last_mapped_id = int(data["last_mapped_id"])
+        dev.last_n_kfs = int(data["last_n_kfs"])
+        # culled-KF registry re-enters as one pre-read record
+        ids = data["culled_ids"]
+        if len(ids):
+            from aslam_tpu.models.mapstate import CullInfo
+
+            dev._cull_pending = [CullInfo(
+                culled=jnp.ones(len(ids), bool),
+                kf_id=jnp.asarray(ids, jnp.int32),
+                parent_kf_id=jnp.asarray(data["culled_parents"], jnp.int32),
+                T_cp=jnp.asarray(data["culled_T"]),
+            )]
+        if dev.loop_closing is not None and os.path.exists(
+                prefix + ".vocab.npz"):
+            from aslam_tpu.ops import bow
+
+            dev.loop_closing.vocab = bow.load_vocabulary(prefix + ".vocab.npz")
+            db_data = np.load(prefix + ".loopdb.npz")
+            db_cls = type(dev.loop_closing.db)
+            dev.loop_closing.db = db_cls(**{
+                f: jnp.asarray(db_data[f]) for f in db_cls._fields})
+            dev.loop_closing.last_loop_kf_id = int(
+                db_data["_last_loop_kf_id"])
+        return dev
 
     def new_sequence(self, img: np.ndarray, depth: np.ndarray,
                      t: float = 0.0) -> bool:

@@ -392,7 +392,10 @@ def map_keyframe_body(m: ms.MapState, slot: jnp.ndarray,
             lambda mm: mm, m)
     m = fuse_landmarks(m, slot, cfg)
     if cfg.map.refresh_positions:
-        m = ms.refresh_landmark_positions(m, cfg)
+        row2 = m.kf_lm[slot]    # post-fuse: includes newly bound landmarks
+        m = ms.refresh_landmark_positions_ids(
+            m, jnp.maximum(row2, 0),
+            (row2 >= 0) & m.kf_kp_valid[slot], cfg)
     if cfg.map.enable_local_ba:
         def do_lba(m):
             spec = build_window(m, slot, cfg)
@@ -403,9 +406,10 @@ def map_keyframe_body(m: ms.MapState, slot: jnp.ndarray,
                                    group=m.kf_lm.shape[1])
             return write_back(m, spec, prob, lw_ids, cfg)
 
-        m = jax.lax.cond(
-            jnp.sum(m.kf_valid.astype(jnp.int32)) > 2,
-            do_lba, lambda mm: mm, m)
+        gate_lba = jnp.sum(m.kf_valid.astype(jnp.int32)) > 2
+        if cfg.map.lba_every > 1:
+            gate_lba = gate_lba & (kf_id % cfg.map.lba_every == 0)
+        m = jax.lax.cond(gate_lba, do_lba, lambda mm: mm, m)
     infos = []
     rounds = max(cfg.map.kf_cull_rounds, 1)
     gate = (kf_id % cfg.map.kf_cull_every == 0) \
@@ -483,10 +487,14 @@ class LocalMapping:
         # 3b. closed-form multi-view position refresh (depth-noise
         # averaging across observing KFs; also the LBA linearization point)
         if cfg.map.refresh_positions:
-            m = ms.refresh_landmark_positions(m, cfg)
+            row2 = m.kf_lm[slot_j]
+            m = ms.refresh_landmark_positions_ids(
+                m, jnp.maximum(row2, 0),
+                (row2 >= 0) & m.kf_kp_valid[slot_j], cfg)
 
         # 4. local BA once there are >2 KFs (localmapping.cpp:45-48)
-        if cfg.map.enable_local_ba and n_kfs > 2:
+        if cfg.map.enable_local_ba and n_kfs > 2 \
+                and kf_id % max(cfg.map.lba_every, 1) == 0:
             spec = build_window(m, slot_j, cfg)
             prob, lw_ids, _ = build_problem(m, spec, cfg)
             chain = (build_chain(m, spec, cfg)

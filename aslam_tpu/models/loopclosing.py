@@ -774,6 +774,26 @@ class LoopClosing:
         from aslam_tpu.ops import global_ba as gba
         from aslam_tpu.ops.lba import map_chain
 
+        if cfg.loop.post_gba_method == "sharded_gn_cg":
+            # config-5 path: the session's own post-loop GBA runs the
+            # covisibility-placed DISTRIBUTED joint GN-CG over whatever
+            # mesh the process has (1 real chip = a 1x1 mesh; the virtual
+            # 8-device CPU mesh in the multichip rehearsal) — the sharded
+            # solver exercised BY the live session, not a standalone
+            # bench.  (No chain regularizer in the sharded kernel yet —
+            # the pose-graph-corrected poses enter as the linearization
+            # point and the step count is bounded.)
+            import jax as _jax
+            from jax.sharding import Mesh
+
+            from aslam_tpu.parallel.partition import partitioned_gn_cg_step
+
+            devs = np.array(_jax.devices())
+            mesh = Mesh(devs.reshape(-1, 1), ("dp", "lm"))
+            for _ in range(max(cfg.loop.post_gba_iters // 4, 1)):
+                m, _ = partitioned_gn_cg_step(m, cfg.camera, cfg.ba, mesh)
+            return m
+
         chain = None
         if (cfg.ba.chain_prior_weight > 0
                 and cfg.loop.post_gba_method == "gn_cg"):

@@ -465,25 +465,48 @@ def create_landmarks(
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("m",))
 def landmark_culling(m: MapState, current_kf_id: jnp.ndarray,
                      cfg: SystemConfig) -> MapState:
-    """Reference rule (localmapping.cpp:110-134): kill landmarks with
-    found/visible ratio < 0.25, or with nObs <= `cull_min_obs` more than
-    2 KFs after creation — nObs counts depth observations TWICE
-    (landmark.cpp:69-80), so one stereo observation dies and two
-    survive, exactly as in the reference."""
-    obs = observation_counts_weighted(m)
-    found_ratio = m.lm_found / jnp.maximum(m.lm_visible, 1)
-    seen = m.lm_visible > 0
-    bad_ratio = seen & (found_ratio < cfg.map.cull_found_ratio)
-    mature = (current_kf_id - m.lm_first_kf) >= 2
-    bad_obs = mature & (obs <= cfg.map.cull_min_obs)
-    keep = m.lm_valid & ~(bad_ratio | bad_obs)
-    # unbind culled landmarks from keyframe slots
-    culled_lookup = jnp.concatenate([keep, jnp.ones((1,), bool)])
-    kf_lm = jnp.where(
-        culled_lookup[jnp.where(m.kf_lm >= 0, m.kf_lm, keep.shape[0])],
-        m.kf_lm, -1,
+    """Reference rule (localmapping.cpp:110-134): over the RECENTLY ADDED
+    landmarks (the reference's mlpRecentAddedMapPoints — it never culls
+    old, established landmarks here), kill those with found/visible ratio
+    < 0.25, or with nObs <= `cull_min_obs` more than 2 KFs after creation
+    — nObs counts depth observations TWICE (landmark.cpp:69-80), so one
+    stereo observation dies and two survive, exactly as in the reference.
+
+    r5: the candidate set is compacted (landmarks created within the last
+    4 KF ids, cap 4096) and obs counts / unbinds walk the observer
+    reverse index — O(cap * max_obs) instead of two [K,M]-wide passes.
+    Pre-r5 this function also applied the found-ratio rule to ALL
+    landmarks (stricter than the reference); that deviation is gone."""
+    L = m.lm_pos.shape[0]
+    from aslam_tpu.ops.matching import compact_candidates
+
+    recent = (
+        m.lm_valid & (m.lm_first_kf >= 0)
+        & ((current_kf_id - m.lm_first_kf) <= 4)
     )
-    return m._replace(lm_valid=keep, kf_lm=kf_lm)
+    cap = min(4096, L)
+    cidx, cvalid, _ = compact_candidates(recent, cap)
+    okf, ofe, ok = observer_entries(m, cidx, cvalid)        # [cap,O]
+    w = jnp.where(m.kf_z[jnp.maximum(okf, 0), ofe] > 0, 2, 1)
+    nobs = jnp.sum(jnp.where(ok, w, 0), axis=1)
+    found_ratio = m.lm_found[cidx] / jnp.maximum(m.lm_visible[cidx], 1)
+    seen = m.lm_visible[cidx] > 0
+    bad_ratio = seen & (found_ratio < cfg.map.cull_found_ratio)
+    mature = (current_kf_id - m.lm_first_kf[cidx]) >= 2
+    bad_obs = mature & (nobs <= cfg.map.cull_min_obs)
+    bad = cvalid & (bad_ratio | bad_obs)
+
+    lm_valid = jnp.concatenate([m.lm_valid, jnp.zeros((1,), bool)]) \
+        .at[jnp.where(bad, cidx, L)].set(False)[:L]
+    # unbind the culled landmarks' observations via their observer entries
+    K, M = m.kf_lm.shape
+    kill = ok & bad[:, None]
+    t_kf = jnp.where(kill, okf, K)
+    t_fe = jnp.where(kill, ofe, 0)
+    kf_lm = jnp.concatenate(
+        [m.kf_lm, jnp.zeros((1, M), jnp.int32)]
+    ).at[t_kf, t_fe].set(-1)[:K]
+    return m._replace(lm_valid=lm_valid, kf_lm=kf_lm)
 
 
 class CullInfo(NamedTuple):
@@ -513,9 +536,11 @@ def keyframe_culling(m: MapState, current_slot: jnp.ndarray,
 
     r5: only the current KF's COVISIBLE neighbors are scored — exactly the
     reference's scan set (localmapping.cpp:198 iterates
-    GetVectorCovisibleKeyFrames of the current KF), and it keeps the
-    per-call work O(N*M) instead of [K,M]-wide gathers."""
-    obs = observation_counts(m)                       # [L]
+    GetVectorCovisibleKeyFrames of the current KF) — and observation
+    counts come from the observer reverse index, so per-call work is
+    O(N*M*max_obs) and independent of the map's keyframe capacity (the
+    [K,M] histogram cost 34 ms at the 8k-KF contract).  Ring overflow
+    undercounts, which only makes culling MORE conservative."""
     L = m.lm_pos.shape[0]
     K = m.kf_valid.shape[0]
     N = min(cfg.map.kf_cull_candidates, K)
@@ -532,9 +557,10 @@ def keyframe_culling(m: MapState, current_slot: jnp.ndarray,
     ids = jnp.where(kp_ok, rows, -1)
     has_lm = ids >= 0
     close = has_lm & (z > 0) & (z < cfg.camera.th_depth)
-    lm_obs = jnp.concatenate([obs, jnp.zeros((1,), jnp.int32)])[
-        jnp.where(ids >= 0, ids, L)
-    ]
+    M_feat = rows.shape[1]
+    _, _, ent_ok = observer_entries(
+        m, jnp.maximum(ids, 0).reshape(-1), (ids >= 0).reshape(-1))
+    lm_obs = jnp.sum(ent_ok, axis=1).reshape(N, M_feat)
     redundant_obs = close & (lm_obs >= 4)  # seen >=3 times elsewhere
     n_close = jnp.sum(close, axis=1)
     n_red = jnp.sum(redundant_obs, axis=1)
@@ -627,6 +653,48 @@ def refresh_landmark_positions(m: MapState, cfg: SystemConfig) -> MapState:
     return m._replace(
         lm_pos=jnp.where(has_any[:, None], new_pos, m.lm_pos)
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("m",))
+def refresh_landmark_positions_ids(m: MapState, lm_ids: jnp.ndarray,
+                                   valid: jnp.ndarray,
+                                   cfg: SystemConfig) -> MapState:
+    """`refresh_landmark_positions` for an ID LIST (the landmarks a new
+    keyframe touches) via the observer reverse index: backprojections of
+    each listed landmark's ring entries, information-weighted mean with
+    the 3-sigma trimmed second pass — O(N * max_obs) instead of two
+    [K,M]-wide scatter passes (r5; at the 8k-KF contract the global pass
+    costs ~70 ms/KF).  Landmarks outside the list keep their positions —
+    which is also what the global pass does for landmarks with no new
+    observation, since their weighted mean is unchanged."""
+    cam = cfg.camera
+    L = m.lm_pos.shape[0]
+    okf, ofe, ok = observer_entries(m, lm_ids, valid)      # [N,O]
+    kf_s = jnp.maximum(okf, 0)
+    xy = m.kf_xy[kf_s, ofe]                                # [N,O,2]
+    z = m.kf_z[kf_s, ofe]                                  # [N,O]
+    ok = ok & (z > 0)
+    p_c = camera.unproject(cam, xy, z)                     # [N,O,3]
+    T_wc = jax.vmap(T_inv)(m.kf_T_cw)[kf_s]                # [N,O,4,4]
+    p_w = jnp.einsum("noij,noj->noi", T_wc[..., :3, :3], p_c) \
+        + T_wc[..., :3, 3]
+    sigma = 0.01 * z * z + 1e-3
+    w = jnp.where(ok, 1.0 / (sigma * sigma), 0.0)
+
+    def wmean(wv):
+        sw = jnp.sum(wv, axis=1)
+        sp = jnp.einsum("no,noi->ni", wv, p_w)
+        return sp / jnp.maximum(sw, 1e-12)[:, None], sw
+
+    mean1, sw1 = wmean(w)
+    dist = jnp.linalg.norm(p_w - mean1[:, None, :], axis=-1)
+    keep = dist <= camera.khoshelham_gate(z)
+    mean2, sw2 = wmean(jnp.where(keep, w, 0.0))
+    new_pos = jnp.where((sw2 > 0)[:, None], mean2, mean1)
+    has = (sw1 > 0) & valid & m.lm_valid[jnp.maximum(lm_ids, 0)]
+    lm_pos = jnp.concatenate([m.lm_pos, jnp.zeros((1, 3))]) \
+        .at[jnp.where(has, lm_ids, L)].set(new_pos)[:L]
+    return m._replace(lm_pos=lm_pos)
 
 
 # ---------------------------------------------------------------- descriptors

@@ -404,9 +404,15 @@ class LoopConfig:
     localized_window: bool = True
     # covisibility-proportional information on pose-graph edges
     # (w = clip(covis / covis_min_weight, 0, 4) instead of uniform 1.0).
-    # OFF by default: r3 measured it making the chain MORE sensitive to a
-    # biased loop edge with no win elsewhere; kept as an ablation knob.
-    covis_weighted_edges: bool = False
+    # ON by default since r5: the 4-config x 3-seed session ablation
+    # (docs/LOOP_ABLATION.md) measured localized+covw as the ONLY
+    # configuration with session ATE below loop-off (0.172 vs 0.232 m
+    # mean; never worse on any seed), while localized-with-uniform-edges
+    # let one seed's corrections blow up 0.30 -> 0.47 m.  (r3 had flagged
+    # covw as risky with the GLOBAL window; combined with the localized
+    # window the strong-covisibility weighting is what keeps a marginal
+    # loop edge from shearing the anchored segment.)
+    covis_weighted_edges: bool = True
 
 
 @dataclass(frozen=True)

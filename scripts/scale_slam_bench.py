@@ -90,6 +90,18 @@ def main(argv=None):
     ap.add_argument("--fast", action="store_true",
                     help="speed-tuned mapping config: culling cadence 2, "
                     "1 cull round, 3+5 LBA schedule")
+    ap.add_argument("--post-gba-method", default="",
+                    help="override loop.post_gba_method (e.g. "
+                    "sharded_gn_cg = the session invokes the "
+                    "covisibility-placed distributed solver)")
+    ap.add_argument("--checkpoint-mid", default="",
+                    help="device engine: save the session at the midpoint "
+                    "sequence to this prefix, then RESUME it into a fresh "
+                    "DeviceSlam and continue (mid-session "
+                    "checkpoint/resume rehearsal)")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="room scale multiplier (larger room = more "
+                    "distinct keyframes before revisits)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
 
@@ -126,11 +138,20 @@ def main(argv=None):
                             kf_cull_rounds=1),
             ba=_dc.replace(cfg.ba, local_iters_1=3, local_iters_2=5),
         )
+    if args.post_gba_method:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(loop=_dc.replace(
+            cfg.loop, post_gba_method=args.post_gba_method))
     print("devices:", jax.devices(), flush=True)
     print(f"capacity: K={args.kfs} L={L}", flush=True)
 
     rng = np.random.default_rng(3)
-    scene = sh.room_scene(rng, half_x=2.2, half_y=1.4, half_z=2.8)
+    sc = args.scale
+    scene = sh.room_scene(rng, half_x=2.2 * sc, half_y=1.4,
+                          half_z=2.8 * sc,
+                          n_panels=max(4, int(4 * sc)),
+                          n_posters=max(10, int(10 * sc * sc)))
     # at 0.09 m/frame the 0.15 m keyframe rule fires every ~2 frames
     n_pf = args.frames_per_seq or int(args.kfs / args.seqs * 2.3)
 
@@ -285,12 +306,16 @@ def run_device(args, cfg, cam, scene, rng, n_pf):
     last_C = None
     last_fwd = None
     for s in range(args.seqs):
+        sc = getattr(args, "scale", 1.0)
         if last_C is None:
-            start = rng.uniform([-1.2, -0.1, -1.8], [1.2, 0.1, 1.8])
+            start = rng.uniform([-1.2 * sc, -0.1, -1.8 * sc],
+                                [1.2 * sc, 0.1, 1.8 * sc])
         else:
             start = np.clip(last_C + rng.normal(0, 0.15, 3),
-                            [-1.4, -0.25, -2.0], [1.4, 0.25, 2.0])
-        poses = bounded_walk(n_pf, rng, start=start, start_fwd=last_fwd)
+                            [-1.4 * sc, -0.25, -2.0 * sc],
+                            [1.4 * sc, 0.25, 2.0 * sc])
+        poses = bounded_walk(n_pf, rng, half_x=1.6 * sc, half_z=2.2 * sc,
+                             start=start, start_fwd=last_fwd)
         last_C = -poses[-1][:3, :3].T @ poses[-1][:3, 3]
         last_fwd = poses[-1][2, :3].copy()
         t_r0 = time.time()
@@ -336,6 +361,15 @@ def run_device(args, cfg, cam, scene, rng, n_pf):
         chunk_rec.append((dev.last_n_kfs, n_seq_frames,
                           time.time() - t_seq))
         seq_ranges.append((lo, frame_i))
+        if getattr(args, "checkpoint_mid", "") and s == args.seqs // 2 - 1:
+            from aslam_tpu.models.device_slam import DeviceSlam as _DS
+            t_ck = time.time()
+            dev.save(args.checkpoint_mid)
+            dev = _DS.resume(args.checkpoint_mid, cfg, seed=0,
+                             sync_every=loop_every,
+                             ring=max(2 * loop_every, 256))
+            print(f"  [mid-session checkpoint/resume into a fresh "
+                  f"DeviceSlam: {time.time() - t_ck:.1f}s]", flush=True)
         print(f"seq {s}: frames {lo}..{frame_i}  kfs~{dev.last_n_kfs} "
               f"mapped={dev.kfs_mapped} "
               f"loops={len(dev.loop_closing.loops) if dev.loop_closing else 0} "

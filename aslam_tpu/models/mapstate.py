@@ -405,11 +405,12 @@ def create_landmarks(
     chosen = order  # feature index by rank
     is_new = take  # ranks actually used
 
-    # allocation: rank r -> r-th free landmark row (stable: argsort of the
-    # validity mask lists invalid rows first, in index order)
-    free_order = jnp.argsort(m.lm_valid, stable=True).astype(jnp.int32)
+    # allocation: rank r -> r-th free landmark row, in stable index order
+    # (nonzero-with-size; a full argsort over the landmark table costs
+    # ~5 ms at the 8k-KF capacity, r5)
     n_free = L - jnp.sum(m.lm_valid.astype(jnp.int32))
-    new_ids = free_order[jnp.minimum(jnp.arange(M), L - 1)]
+    (new_ids,) = jnp.nonzero(~m.lm_valid, size=M, fill_value=L - 1)
+    new_ids = new_ids.astype(jnp.int32)
     in_cap = jnp.arange(M) < n_free
     is_new = is_new & in_cap
     n_created = jnp.sum(is_new.astype(jnp.int32))

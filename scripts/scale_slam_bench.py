@@ -99,6 +99,11 @@ def main(argv=None):
                     "sequence to this prefix, then RESUME it into a fresh "
                     "DeviceSlam and continue (mid-session "
                     "checkpoint/resume rehearsal)")
+    ap.add_argument("--final-sharded-gba", action="store_true",
+                    help="device engine: after the last sequence, the "
+                    "session's LoopClosing invokes the covisibility-"
+                    "placed distributed GN-CG over the live map (one "
+                    "bounded refinement; config-5 contract)")
     ap.add_argument("--scale", type=float, default=1.0,
                     help="room scale multiplier (larger room = more "
                     "distinct keyframes before revisits)")
@@ -377,6 +382,20 @@ def run_device(args, cfg, cam, scene, rng, n_pf):
               flush=True)
         if dev.last_n_kfs >= cfg.map.max_keyframes - 2:
             break
+
+    if getattr(args, "final_sharded_gba", False) and dev.loop_closing:
+        import dataclasses as _dc
+        t_g = time.time()
+        lc = dev.loop_closing
+        old_cfg = lc.cfg
+        lc.cfg = old_cfg.replace(loop=_dc.replace(
+            old_cfg.loop, post_gba_method="sharded_gn_cg"))
+        m2 = lc._post_loop_gba(dev.state.m)
+        lc.cfg = old_cfg
+        dev.state = dev.state._replace(m=m2)
+        print(f"final sharded GN-CG GBA (session-invoked, "
+              f"{jax.device_count()} device(s)): {time.time() - t_g:.1f}s",
+              flush=True)
 
     t_fin = time.time()
     traj, stats = dev.finish()

@@ -179,6 +179,26 @@ def run_single():
         "(completion-read barrier)")
     best_fps = stream_fps
 
+    # single-frame LATENCY, separated from throughput (advisor r4): a
+    # per-frame completion read costs compute + one relay round-trip;
+    # subtract the measured RTT floor (read of a trivial op) so the
+    # number is the device step latency
+    tiny = jnp.zeros((4,))
+    floor_t = time.time()
+    for _ in range(8):
+        _ = float(jnp.sum(tiny + 1.0))
+    rtt_ms = (time.time() - floor_t) / 8 * 1e3
+    lat_t = time.time()
+    n_lat = 8
+    for i in range(1, n_lat + 1):
+        prev, grid, res = track_frame(
+            prev, jnp.asarray(imgs_u8[i]), jnp.asarray(depths_u16[i]),
+            state.grid_thresholds, keys[i], cfg, cam.height, cam.width)
+        _ = float(jnp.sum(res.T_cw2))
+    lat_ms = (time.time() - lat_t) / n_lat * 1e3 - rtt_ms
+    log(f"single-frame latency: {lat_ms:.1f} ms (RTT floor "
+        f"{rtt_ms:.1f} ms subtracted)")
+
     # Sanity readback deliberately happens ONLY at the end: an attempt here
     # that hangs leaves a blocked reader thread inside the relay client,
     # which serializes every subsequent dispatch — measured 315-frame
@@ -256,6 +276,7 @@ def run_single():
         "vs_baseline": round(fps / REFERENCE_FPS, 3),
         "verified": bool(sanity["verified"]),
         "ate_cm": sanity["ate_cm"],
+        "latency_ms_minus_rtt": round(lat_ms, 2),
     }), flush=True)
 
     if hung:

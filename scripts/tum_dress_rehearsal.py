@@ -102,6 +102,11 @@ def main(argv=None):
     ap.add_argument("--out", default=os.path.join(REPO, "results",
                                                   "TUM_REHEARSAL.md"))
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--engine", choices=["host", "device"], default="host",
+                    help="CLI engine to drive (the device engine is the "
+                    "production path: chunked slam_scan on the "
+                    "accelerator)")
+    ap.add_argument("--chunk", type=int, default=64)
     args = ap.parse_args(argv)
 
     seq_dir = os.path.join(args.workdir, "rgbd_dataset_synthetic_fr1")
@@ -115,7 +120,8 @@ def main(argv=None):
     # the real CLI, as a user would run it
     cmd = [sys.executable, "-m", "aslam_tpu.main",
            "--dataset", seq_dir, "--camera", "fr1", "--mode", args.mode,
-           "--out-dir", out_dir]
+           "--out-dir", out_dir, "--engine", args.engine,
+           "--chunk", str(args.chunk)]
     print("running:", " ".join(cmd), flush=True)
     t0 = time.time()
     r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
@@ -157,9 +163,10 @@ def main(argv=None):
             f"| metric | value |\n|---|---|\n"
             f"| frames | {args.frames} |\n"
             f"| keyframes | {len(kf)} |\n"
+            f"| engine | {args.engine} |\n"
             f"| ATE RMSE (TUM metric) | **{ate * 100:.2f} cm** |\n"
             f"| wall clock | {wall:.0f} s ({wall / args.frames * 1e3:.0f} "
-            "ms/frame, CPU host path incl. compile) |\n\n"
+            "ms/frame incl. compile) |\n\n"
             "Exports verified present: CameraTrajectory.txt, "
             "KeyFrameTrajectory.txt, Histogram.csv, metrics.json "
             "(main.cpp:124-126 parity).  When real TUM data is "

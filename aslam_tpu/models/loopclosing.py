@@ -79,15 +79,30 @@ def add_keyframes_batch(db: DatabaseState, vocab: bow.Vocabulary,
     """Rebuild the WHOLE database in one dispatch: vmapped tree descent +
     BoW vectors over every keyframe row with include[k] set (replaces the
     sequential per-KF host loop of the vocabulary-refresh rebuild,
-    VERDICT r2 weak #2)."""
-    words = jax.vmap(lambda d: bow.transform(vocab, d))(desc)      # [K,M]
-    vecs = jax.vmap(
-        lambda w, v: bow.bow_vector(vocab, w, v))(words, valid)    # [K,W]
-    W = vecs.shape[1]
-    K, M = words.shape
-    hist = jnp.zeros((K, W + 1), bool).at[
-        jnp.arange(K)[:, None], jnp.where(valid, words, W)
-    ].set(True)[:, :W]
+    VERDICT r2 weak #2).  Chunked over keyframes with lax.map — the
+    fully-vmapped scatter lowering transiently materialized ~20 GB at the
+    8k-KF capacity (r5 OOM)."""
+    K, M = desc.shape[:2]
+    B = next(b for b in (256, 128, 64, 32, 16, 8, 4, 2, 1) if K % b == 0)
+
+    def chunk(dv):
+        d, v = dv
+        w_c = jax.vmap(lambda dd: bow.transform(vocab, dd))(d)     # [B,M]
+        vec_c = jax.vmap(
+            lambda ww, vv: bow.bow_vector(vocab, ww, vv))(w_c, v)  # [B,W]
+        Wn = vec_c.shape[1]
+        hist_c = jnp.zeros((B, Wn + 1), bool).at[
+            jnp.arange(B)[:, None], jnp.where(v, w_c, Wn)
+        ].set(True)[:, :Wn]
+        return w_c, vec_c, hist_c
+
+    words, vecs, hist = jax.lax.map(
+        chunk, (desc.reshape(K // B, B, M, desc.shape[-1]),
+                valid.reshape(K // B, B, M)))
+    words = words.reshape(K, M)
+    W = vecs.shape[-1]
+    vecs = vecs.reshape(K, W)
+    hist = hist.reshape(K, W)
     inc = include[:, None]
     return DatabaseState(
         kf_bow=jnp.where(inc, vecs, 0.0),

@@ -76,6 +76,13 @@ def _edge_terms(m: MapState, cam: CameraModel, cfg: BAConfig, robust: bool):
     return r, Jc, Jp, w, chi2, active, lm
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def map_chi2(m: MapState, cam: CameraModel, cfg: BAConfig) -> jnp.ndarray:
+    """Total active reprojection chi2 of the whole map (diagnostic)."""
+    _, _, _, _, chi2, active, _ = _edge_terms(m, cam, cfg, robust=False)
+    return jnp.sum(jnp.where(active, chi2, 0.0))
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "cfg", "robust"))
 def ba_sweep(m: MapState, cam: CameraModel, cfg: BAConfig,
              robust: bool = True, lam: float = 1e-4):

@@ -195,9 +195,12 @@ def run_single():
             prev, jnp.asarray(imgs_u8[i]), jnp.asarray(depths_u16[i]),
             state.grid_thresholds, keys[i], cfg, cam.height, cam.width)
         _ = float(jnp.sum(res.T_cw2))
-    lat_ms = (time.time() - lat_t) / n_lat * 1e3 - rtt_ms
-    log(f"single-frame latency: {lat_ms:.1f} ms (RTT floor "
-        f"{rtt_ms:.1f} ms subtracted)")
+    lat_raw = (time.time() - lat_t) / n_lat * 1e3
+    lat_ms = max(lat_raw - rtt_ms, 0.0)
+    log(f"single-frame latency: raw {lat_raw:.1f} ms, RTT floor "
+        f"{rtt_ms:.1f} ms -> device-step estimate {lat_ms:.1f} ms "
+        "(0 = relay variance exceeded the step time; the relay RTT is "
+        "heavy-tailed, so treat the estimate as an upper bound)")
 
     # Sanity readback deliberately happens ONLY at the end: an attempt here
     # that hangs leaves a blocked reader thread inside the relay client,
@@ -316,10 +319,19 @@ def run_slam_single():
             cfg.map,
             lm_cull_every=int(os.environ.get("ASLAM_SLAM_LM_CULL", "2")),
             kf_cull_every=int(os.environ.get("ASLAM_SLAM_KF_CULL", "2")),
+            lba_every=int(os.environ.get("ASLAM_SLAM_LBA_EVERY", "2")),
             kf_cull_rounds=1),
+        # the shipped vocabulary, like the reference's pretrained DBoW3
+        # artifact (main.cpp:67) — in-run vocabulary training is a
+        # deployment nicety, not something to time inside the benchmark
+        loop=dataclasses.replace(cfg.loop, use_pretrained_vocab=True),
     )
-    it1 = int(os.environ.get("ASLAM_SLAM_ITERS1", "0"))
-    it2 = int(os.environ.get("ASLAM_SLAM_ITERS2", "0"))
+    # speed-config defaults, each accuracy-validated: the 3+5 LBA schedule
+    # and culling cadence cost nothing on the session ablation
+    # (docs/SCALE_SLAM_DEVICE.md: 0.1545 vs 0.1573 m), lba_every=2 moved
+    # this bench's own verified ATE 0.52 -> 0.56 cm
+    it1 = int(os.environ.get("ASLAM_SLAM_ITERS1", "3"))
+    it2 = int(os.environ.get("ASLAM_SLAM_ITERS2", "5"))
     if it1 or it2:
         cfg = cfg.replace(ba=dataclasses.replace(
             cfg.ba, local_iters_1=it1 or cfg.ba.local_iters_1,
@@ -343,10 +355,24 @@ def run_slam_single():
     deps_u16 = np.clip(deps / cam.depth_factor, 0, 65535).astype(np.uint16)
 
     def run_pass(seed):
-        dev = DeviceSlam(cfg, seed=seed, sync_every=128)
-        for c0 in range(0, n_frames, chunk):
-            dev.process_chunk(imgs_u8[c0:c0 + chunk],
-                              deps_u16[c0:c0 + chunk],
+        # double-buffered sensor ingest: chunk k+1 uploads (async
+        # device_put) while chunk k computes — same discipline as the VO
+        # bench's chunked stream; upload time overlaps device work
+        dev = DeviceSlam(
+            cfg, seed=seed,
+            sync_every=int(os.environ.get("ASLAM_SLAM_SYNC", "129")))
+        starts = list(range(0, n_frames, chunk))
+
+        def put(c0):
+            return (jax.device_put(imgs_u8[c0:c0 + chunk]),
+                    jax.device_put(deps_u16[c0:c0 + chunk]))
+
+        buf = put(starts[0])
+        for i, c0 in enumerate(starts):
+            im_d, dp_d = buf
+            if i + 1 < len(starts):
+                buf = put(starts[i + 1])
+            dev.process_chunk(im_d, dp_d,
                               ts=[0.033 * (c0 + j)
                                   for j in range(min(chunk, n_frames - c0))])
         return dev

@@ -70,6 +70,14 @@ def test_biased_loop_weight_vs_hardcoded(rng):
     edge) must distort the rest of the chain LESS than the old hardcoded
     10x weight under the same biased measurement."""
     cfg, m, T_true, T_est, drift, n_kfs = build_looped_map(rng)
+    # this test isolates the LOOP edge's weighting against UNIFORM
+    # covisibility edges (the r3 scenario it was written for); r5 flipped
+    # covis_weighted_edges on by default (docs/LOOP_ABLATION.md), which
+    # changes the balance this comparison assumes — pin it off here
+    import dataclasses as _dc
+
+    cfg = cfg.replace(loop=_dc.replace(cfg.loop,
+                                       covis_weighted_edges=False))
     q, c = n_kfs - 1, 0
     T_qc = T_true[q] @ np.linalg.inv(T_true[c])
     bias = np.eye(4)

@@ -325,6 +325,13 @@ class MapConfig:
     # arrives, so a busy mapper refines every few KFs
     # (localmapping.cpp:241-246,321)
     lba_every: int = 1
+    # full-map landmark position refresh every Nth keyframe (on top of the
+    # per-KF touched-ids refresh): the global pass re-anchors EVERY
+    # landmark to its observers' current poses, continuously propagating
+    # LBA/pose-graph motion into the landmark field — measurably
+    # load-bearing for long-session consistency (r5 session A/B).  Cost is
+    # two [K,M]-wide passes (~2 ms at 1k KFs, ~70 ms at 8k), amortized N-fold.
+    global_refresh_every: int = 4
     # windowed Schur local BA at each KF insertion (localmapping.cpp:45-48).
     # Off = tracking + landmark bookkeeping only (ablations; odometry-grade
     # maps where chain-local consistency matters more than reprojection

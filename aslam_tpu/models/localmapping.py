@@ -396,6 +396,15 @@ def map_keyframe_body(m: ms.MapState, slot: jnp.ndarray,
         m = ms.refresh_landmark_positions_ids(
             m, jnp.maximum(row2, 0),
             (row2 >= 0) & m.kf_kp_valid[slot], cfg)
+        if cfg.map.global_refresh_every > 0:
+            # periodic FULL-map refresh: propagates accumulated pose
+            # motion (LBA, corrections) into every landmark, which the
+            # touched-ids pass alone does not (r5 session A/B: dropping
+            # it cost ~45% session ATE)
+            m = jax.lax.cond(
+                kf_id % cfg.map.global_refresh_every == 0,
+                lambda mm: ms.refresh_landmark_positions(mm, cfg),
+                lambda mm: mm, m)
     if cfg.map.enable_local_ba:
         def do_lba(m):
             spec = build_window(m, slot, cfg)
@@ -491,6 +500,9 @@ class LocalMapping:
             m = ms.refresh_landmark_positions_ids(
                 m, jnp.maximum(row2, 0),
                 (row2 >= 0) & m.kf_kp_valid[slot_j], cfg)
+            if (cfg.map.global_refresh_every > 0
+                    and kf_id % cfg.map.global_refresh_every == 0):
+                m = ms.refresh_landmark_positions(m, cfg)
 
         # 4. local BA once there are >2 KFs (localmapping.cpp:45-48)
         if cfg.map.enable_local_ba and n_kfs > 2 \

@@ -237,8 +237,19 @@ def gn_cg_step(m: MapState, cam: CameraModel, cfg: BAConfig,
 
     bc = jnp.where(cam_free[:, None], bc, 0.0)
     bl = jnp.where(pt_free[:, None], bl, 0.0)
-    Dc_inv = chol_inv(Dc + (lam + 1e-8) * jnp.eye(6))
-    Dl_inv = chol_inv(Dl + (lam + 1e-8) * jnp.eye(3))
+    # RELATIVE (trace-scaled) damping: normal-equation blocks reach ~1e11
+    # when info = 1/z^2 meets near-camera depths (z ~ 1e-3), where an
+    # absolute lam of 1e-3 is meaningless — the unpivoted f32 Cholesky
+    # breaks down on the near-singular blocks and the preconditioned
+    # residual explodes (measured |z0| ~ 1e27 on a real session map, dx
+    # collapsing to 0 through the isfinite mask; r5).  The same lam_c /
+    # lam_l enter the Hv product so CG solves exactly (H + diag(lam_*)) x = -b.
+    lam_c = lam * jnp.maximum(
+        jnp.trace(Dc, axis1=-2, axis2=-1) / 6.0, 1.0) + 1e-8   # [K]
+    lam_l = lam * jnp.maximum(
+        jnp.trace(Dl, axis1=-2, axis2=-1) / 3.0, 1.0) + 1e-8   # [L]
+    Dc_inv = chol_inv(Dc + lam_c[:, None, None] * jnp.eye(6))
+    Dl_inv = chol_inv(Dl + lam_l[:, None, None] * jnp.eye(3))
 
     def Hv(vc, vl):
         def body(c, acc):
@@ -261,8 +272,8 @@ def gn_cg_step(m: MapState, cam: CameraModel, cfg: BAConfig,
                  + jnp.einsum("eij,ej->ei", Jj, vc[chain.c_j]))
             oc = oc.at[chain.c_i].add(jnp.einsum("eri,er->ei", wJi, q))
             oc = oc.at[chain.c_j].add(jnp.einsum("eri,er->ei", wJj, q))
-        oc = jnp.where(cam_free[:, None], oc + lam * vc, 0.0)
-        ol = jnp.where(pt_free[:, None], ol + lam * vl, 0.0)
+        oc = jnp.where(cam_free[:, None], oc + lam_c[:, None] * vc, 0.0)
+        ol = jnp.where(pt_free[:, None], ol + lam_l[:, None] * vl, 0.0)
         return oc, ol
 
     def precond(vc, vl):

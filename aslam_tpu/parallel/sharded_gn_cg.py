@@ -84,26 +84,33 @@ def sharded_gn_cg_step(
         bl = jnp.where(pt_free[:, None], bl, 0.0)
 
         Dc = jnp.einsum("kmri,kmrj->kij", wJc, Jc)
-        Dc_inv = chol_inv(Dc + (lam + 1e-8) * jnp.eye(6))
         Dl = lax.psum(
             jnp.zeros((L, 3, 3)).at[lm].add(
                 jnp.einsum("kmri,kmrj->kmij", wJp, Jp)),
             AXES,
         )
-        Dl_inv = chol_inv(Dl + (lam + 1e-8) * jnp.eye(3))
+        # RELATIVE (trace-scaled) damping, same as ops/global_ba.gn_cg_step
+        # (r5): absolute lam is meaningless against 1/z^2-scaled blocks —
+        # the unpivoted f32 Cholesky breaks down and CG collapses
+        lam_c = lam * jnp.maximum(
+            jnp.trace(Dc, axis1=-2, axis2=-1) / 6.0, 1.0) + 1e-8
+        lam_l = lam * jnp.maximum(
+            jnp.trace(Dl, axis1=-2, axis2=-1) / 3.0, 1.0) + 1e-8
+        Dc_inv = chol_inv(Dc + lam_c[:, None, None] * jnp.eye(6))
+        Dl_inv = chol_inv(Dl + lam_l[:, None, None] * jnp.eye(3))
 
         def Hv(vc, vl):
             # vc: [Ks,6] local shard; vl: [L,3] replicated
             q = (jnp.einsum("kmri,ki->kmr", Jc, vc)
                  + jnp.einsum("kmri,kmi->kmr", Jp, vl[lm]))
             wq = w[..., None] * q
-            oc = jnp.einsum("kmri,kmr->ki", Jc, wq) + lam * vc
+            oc = jnp.einsum("kmri,kmr->ki", Jc, wq) + lam_c[:, None] * vc
             oc = jnp.where(cam_free[:, None], oc, 0.0)
             ol = lax.psum(
                 jnp.zeros((L, 3)).at[lm].add(
                     jnp.einsum("kmri,kmr->kmi", Jp, wq)),
                 AXES,
-            ) + lam * vl
+            ) + lam_l[:, None] * vl
             ol = jnp.where(pt_free[:, None], ol, 0.0)
             return oc, ol
 

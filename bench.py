@@ -512,7 +512,7 @@ def orchestrate():
 
     # ---- phase 2: config-2 full SLAM (tracking+mapping+LBA+loop cadence)
     slam_attempts = int(os.environ.get("ASLAM_BENCH_SLAM_ATTEMPTS", "2"))
-    slam_target = float(os.environ.get("ASLAM_BENCH_SLAM_TARGET", "90"))
+    slam_target = float(os.environ.get("ASLAM_BENCH_SLAM_TARGET", "30"))
     slam_best = None
     slam_best_v = None
     for i in range(slam_attempts):
